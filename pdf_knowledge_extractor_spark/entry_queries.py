@@ -1,0 +1,888 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (queries,
+oracle_sql) pair here. Both sides are generated from the SAME lexicon
+constants (lexicons.py) and the SAME numeric formulas, so the oracle
+cannot drift from the engine. Column names and float rounding (4 dp)
+are aligned on both sides because the driver hash-compares values.
+
+Non-SQL-expressible ops (LSH dedup, simhash, KMeans clustering,
+connected components, the full triple pipeline) are exposed as
+rows-only queries (no oracle entry).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_knowledge_extractor_spark.functions.doctype import doc_type
+from pdf_knowledge_extractor_spark.functions.langid import detect_language
+from pdf_knowledge_extractor_spark.functions.quality import (
+    is_valid_text,
+    quality_struct,
+)
+from pdf_knowledge_extractor_spark.functions.sentiment import sentiment_struct
+from pdf_knowledge_extractor_spark.functions.text import (
+    bpe_ish_token_count,
+    char_count,
+    clean_text,
+    estimate_tokens,
+    fingerprint,
+    sha256,
+    word_count,
+)
+from pdf_knowledge_extractor_spark.lexicons import (
+    DOC_TYPE_LEXICONS,
+    DOC_TYPE_ORDER,
+    LANG_PROFILES,
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    STOP_WORDS,
+    sql_list,
+)
+from pdf_knowledge_extractor_spark.operators.concepts import (
+    aggregate_concepts,
+    per_doc_top_keywords,
+)
+from pdf_knowledge_extractor_spark.operators.mentions import keyword_mentions
+from pdf_knowledge_extractor_spark.operators.related import related_documents
+from pdf_knowledge_extractor_spark.operators.similarity import exact_cosine_pairs
+from pdf_knowledge_extractor_spark.operators.tfidf import (
+    per_doc_top_terms,
+    tfidf_longform,
+)
+from pdf_knowledge_extractor_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL snippets (DuckDB dialect), generated from lexicons
+# ---------------------------------------------------------------------------
+
+# keyword tokens: \b[a-z]{4,}\b on lowered text (claude_integration.py:1302)
+_SQL_TOKS = r"""
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\b[a-z]{4,}\b')) AS word
+    FROM documents
+)"""
+_SQL_TOKS_NOSTOP = (
+    _SQL_TOKS
+    + f""",
+kw AS (
+    SELECT doc_id, word FROM toks WHERE word NOT IN ({sql_list(STOP_WORDS)})
+)"""
+)
+
+# whitespace words of lower(text)
+_SQL_WS_WORDS = r"""
+wsw AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> len(w) > 0) AS words
+    FROM documents
+)"""
+
+# L2-normalized sublinear tf-idf long form over keyword tokens
+_SQL_TFIDF = (
+    _SQL_TOKS_NOSTOP
+    + r""",
+tf AS (
+    SELECT doc_id, word AS term, count(*)::BIGINT AS tf
+    FROM kw GROUP BY doc_id, word
+),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+weighted AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           (1.0 + ln(tf.tf)) * ln(ndocs.n_docs::DOUBLE / dft.df) AS weight
+    FROM tf, ndocs
+    JOIN dft ON tf.term = dft.term
+),
+norms AS (
+    SELECT doc_id, sqrt(sum(weight * weight)) AS nrm
+    FROM weighted GROUP BY doc_id
+),
+tfidf AS (
+    SELECT w.doc_id, w.term, w.tf, w.df, w.weight / n.nrm AS weight
+    FROM weighted w JOIN norms n ON w.doc_id = n.doc_id
+    WHERE n.nrm > 0
+)"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q01 — per-doc stats (P6, P4): word/char counts + token estimates
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_stats",
+    f"""
+WITH {_SQL_WS_WORDS.split('AS', 1)[0].strip()} AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       w -> len(w) > 0) AS words,
+           text
+    FROM documents
+)
+SELECT doc_id,
+       len(words)::BIGINT AS word_count,
+       length(text)::BIGINT AS char_count,
+       (length(text) // 4)::BIGINT AS est_tokens,
+       len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+FROM wsw
+ORDER BY doc_id
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).cast("long").alias("word_count"),
+        char_count(F.col("text")).cast("long").alias("char_count"),
+        estimate_tokens(F.col("text")).alias("est_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — text validity metrics (F5)
+# ---------------------------------------------------------------------------
+@_register(
+    "text_validity",
+    r"""
+SELECT doc_id,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                  / length(text) ELSE 0.0 END, 4) AS alnum_ratio,
+       round(CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                       w -> len(w) > 0)) > 0
+             THEN len(list_distinct(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      w -> len(w) > 0)))::DOUBLE
+                  / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                    w -> len(w) > 0))
+             ELSE 0.0 END, 4) AS uniq_ratio,
+       (length(trim(text)) > 0 AND length(text) <= 500000
+        AND (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                  / length(text) ELSE 0.0 END) >= 0.7
+        AND (CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                       w -> len(w) > 0)) > 0
+             THEN len(list_distinct(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      w -> len(w) > 0)))::DOUBLE
+                  / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                    w -> len(w) > 0))
+             ELSE 0.0 END) >= 0.1) AS is_valid
+FROM documents
+""",
+)
+def q_text_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.functions.text import (
+        alnum_ratio,
+        unique_word_ratio,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(alnum_ratio(t), 4).alias("alnum_ratio"),
+        F.round(unique_word_ratio(t), 4).alias("uniq_ratio"),
+        is_valid_text(t).alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — per-doc top-20 keywords (A2/W4)
+# ---------------------------------------------------------------------------
+@_register(
+    "keywords_topk",
+    f"""
+WITH {_SQL_TOKS_NOSTOP.lstrip()},
+counts AS (
+    SELECT doc_id, word AS keyword, count(*)::BIGINT AS cnt
+    FROM kw GROUP BY doc_id, word
+),
+ranked AS (
+    SELECT doc_id, keyword, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, keyword ASC) AS rank
+    FROM counts
+)
+SELECT doc_id, keyword, cnt, rank::INT AS rank FROM ranked WHERE rank <= 20
+""",
+)
+def q_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    return per_doc_top_keywords(km, k=20).select(
+        "doc_id",
+        F.col("text").alias("keyword"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — corpus concept aggregation (A1 + F7 + W1), keyword stream
+# ---------------------------------------------------------------------------
+@_register(
+    "concepts_agg",
+    f"""
+WITH {_SQL_TOKS_NOSTOP.lstrip()}
+SELECT word AS text,
+       count(*)::BIGINT AS frequency,
+       count(DISTINCT doc_id)::BIGINT AS n_documents
+FROM kw
+GROUP BY word
+HAVING count(*) >= 2
+ORDER BY frequency DESC, text ASC
+LIMIT 100
+""",
+)
+def q_concepts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    c = aggregate_concepts(km, min_frequency=2, max_concepts=None)
+    return (
+        c.orderBy(F.desc("frequency"), F.asc("text"))
+        .limit(100)
+        .select(
+            "text",
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("n_documents").cast("long").alias("n_documents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — document-type detection (P7)
+# ---------------------------------------------------------------------------
+def _sql_type_hits(cat: str) -> str:
+    terms = DOC_TYPE_LEXICONS[cat]
+    parts = " + ".join(
+        f"(CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"({parts})"
+
+
+_SQL_TYPE_COUNTS = ",\n       ".join(
+    f"{_sql_type_hits(cat)} AS {cat}_hits" for cat in DOC_TYPE_ORDER
+)
+_SQL_TYPE_BEST = "greatest(" + ", ".join(f"{c}_hits" for c in DOC_TYPE_ORDER) + ")"
+_SQL_TYPE_PICK = (
+    "CASE WHEN length(coalesce(text, '')) = 0 THEN 'unknown' "
+    f"WHEN {_SQL_TYPE_BEST} = 0 THEN 'general' "
+    + " ".join(
+        f"WHEN {cat}_hits = {_SQL_TYPE_BEST} THEN '{cat}'"
+        for cat in DOC_TYPE_ORDER
+    )
+    + " END"
+)
+
+
+@_register(
+    "doc_type",
+    f"""
+WITH hits AS (
+    SELECT doc_id, text,
+       {_SQL_TYPE_COUNTS}
+    FROM documents
+)
+SELECT doc_id, {_SQL_TYPE_PICK} AS document_type FROM hits
+""",
+)
+def q_doc_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", doc_type(F.col("text")).alias("document_type"))
+
+
+# ---------------------------------------------------------------------------
+# q06 — sentiment (A4)
+# ---------------------------------------------------------------------------
+@_register(
+    "sentiment",
+    f"""
+WITH {_SQL_WS_WORDS.lstrip()},
+hits AS (
+    SELECT doc_id,
+           len(list_filter(words, w -> list_contains([{sql_list(POSITIVE_WORDS)}], w)))::BIGINT AS pos,
+           len(list_filter(words, w -> list_contains([{sql_list(NEGATIVE_WORDS)}], w)))::BIGINT AS neg
+    FROM wsw
+)
+SELECT doc_id,
+       CASE WHEN pos + neg = 0 THEN 'neutral'
+            WHEN pos > neg THEN 'positive'
+            WHEN neg > pos THEN 'negative'
+            ELSE 'neutral' END AS sentiment,
+       round(CASE WHEN pos + neg = 0 THEN 0.0
+            WHEN pos > neg THEN pos::DOUBLE / (pos + neg)
+            WHEN neg > pos THEN neg::DOUBLE / (pos + neg)
+            ELSE 0.0 END, 4) AS score,
+       pos AS positive_indicators, neg AS negative_indicators
+FROM hits
+""",
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = sentiment_struct(F.col("text"))
+    return d.select("doc_id", s.alias("_s")).select(
+        "doc_id",
+        F.col("_s.sentiment").alias("sentiment"),
+        F.round(F.col("_s.score"), 4).alias("score"),
+        F.col("_s.positive_indicators").cast("long").alias("positive_indicators"),
+        F.col("_s.negative_indicators").cast("long").alias("negative_indicators"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — collection stats (A5/A6)
+# ---------------------------------------------------------------------------
+@_register(
+    "collection_stats",
+    r"""
+WITH per_doc AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           w -> len(w) > 0))::BIGINT AS wc,
+           length(text)::BIGINT AS cc
+    FROM documents
+)
+SELECT count(*)::BIGINT AS total_docs,
+       sum(wc)::BIGINT AS total_words,
+       round(avg(wc), 6) AS avg_words,
+       min(wc)::BIGINT AS min_words,
+       max(wc)::BIGINT AS max_words,
+       sum(cc)::BIGINT AS total_chars,
+       round(avg(cc), 6) AS avg_chars
+FROM per_doc
+""",
+)
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    wc = word_count(F.col("text")).cast("long")
+    cc = char_count(F.col("text")).cast("long")
+    per = d.select(wc.alias("wc"), cc.alias("cc"))
+    return per.agg(
+        F.count("*").alias("total_docs"),
+        F.sum("wc").alias("total_words"),
+        F.round(F.avg("wc"), 6).alias("avg_words"),
+        F.min("wc").alias("min_words"),
+        F.max("wc").alias("max_words"),
+        F.sum("cc").alias("total_chars"),
+        F.round(F.avg("cc"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — related docs via shared keywords (J2/W3)
+# ---------------------------------------------------------------------------
+@_register(
+    "related_docs",
+    f"""
+WITH {_SQL_TOKS_NOSTOP.lstrip()},
+counts AS (
+    SELECT doc_id, word, count(*)::BIGINT AS cnt
+    FROM kw GROUP BY doc_id, word
+),
+topkw AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, word,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, word ASC) AS r
+        FROM counts
+    ) WHERE r <= 20
+),
+pairs AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS related_doc_id,
+           count(*)::BIGINT AS shared_kw_count
+    FROM topkw a JOIN topkw b ON a.word = b.word AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+)
+SELECT doc_id, related_doc_id, shared_kw_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY shared_kw_count DESC,
+                                          related_doc_id ASC) AS r
+    FROM pairs
+) WHERE r <= 10
+""",
+)
+def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    topkw = per_doc_top_keywords(km, k=20)
+    return related_documents(
+        topkw.select("doc_id", "text"), min_shared=3, top_k=10
+    ).select(
+        "doc_id",
+        "related_doc_id",
+        F.col("shared_kw_count").cast("long").alias("shared_kw_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — per-doc top-20 tf-idf terms (A8/A9/W4)
+# ---------------------------------------------------------------------------
+@_register(
+    "tfidf_topk",
+    f"""
+WITH {_SQL_TFIDF.lstrip()}
+SELECT doc_id, term, round(weight, 4) AS weight, rank::INT AS rank FROM (
+    SELECT doc_id, term, weight,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY weight DESC, term ASC) AS rank
+    FROM tfidf
+) WHERE rank <= 20
+""",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"))
+    return per_doc_top_terms(t, k=20).select(
+        "doc_id",
+        "term",
+        F.round("weight", 4).alias("weight"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — all-pairs cosine similarity >= 0.7 (J1/F6), exact path
+# ---------------------------------------------------------------------------
+@_register(
+    "similar_pairs",
+    f"""
+WITH {_SQL_TFIDF.lstrip()}
+SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
+       round(sum(a.weight * b.weight), 4) AS similarity_score
+FROM tfidf a JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(sum(a.weight * b.weight), 6) >= 0.7
+""",
+)
+def q_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold applied on round(score, 6) so last-ulp float noise from
+    # different summation orders cannot flip borderline pairs vs oracle
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"))
+    return (
+        exact_cosine_pairs(t, threshold=0.0)
+        .filter(F.round("similarity_score", 6) >= 0.7)
+        .select(
+            "doc1_id",
+            "doc2_id",
+            F.round("similarity_score", 4).alias("similarity_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — contains triples (J6): doc -> concept edges
+# ---------------------------------------------------------------------------
+@_register(
+    "contains_triples",
+    f"""
+WITH {_SQL_TOKS_NOSTOP.lstrip()},
+concepts AS (
+    SELECT word AS text, count(*)::BIGINT AS frequency
+    FROM kw GROUP BY word HAVING count(*) >= 2
+    ORDER BY frequency DESC, text ASC LIMIT 100
+),
+cd AS (
+    SELECT DISTINCT kw.doc_id, kw.word FROM kw
+    JOIN concepts c ON kw.word = c.text
+)
+SELECT doc_id::VARCHAR AS subj,
+       'contains' AS pred,
+       'concept_' || regexp_replace(word, '[^a-zA-Z0-9_]', '_', 'g') AS obj
+FROM cd
+""",
+)
+def q_contains_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    c = (
+        aggregate_concepts(km, min_frequency=2, max_concepts=None)
+        .orderBy(F.desc("frequency"), F.asc("text"))
+        .limit(100)
+    )
+    return c.select(
+        F.explode("document_ids").alias("doc_id"), F.col("text")
+    ).select(
+        F.col("doc_id").cast("string").alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(
+            F.lit("concept_"),
+            F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_]", "_"),
+        ).alias("obj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — exact deduplication by normalized-content fingerprint
+# ---------------------------------------------------------------------------
+@_register(
+    "exact_dedup",
+    r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+),
+grp AS (
+    SELECT fingerprint, min(doc_id) AS canonical_id,
+           count(*)::BIGINT AS group_size
+    FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, g.canonical_id, g.group_size,
+       (f.doc_id <> g.canonical_id) AS is_duplicate
+FROM fp f JOIN grp g ON f.fingerprint = g.fingerprint
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+    grp = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return fp.join(grp, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "canonical_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — language identification heuristic
+# ---------------------------------------------------------------------------
+def _sql_lang_hits(lang: str) -> str:
+    prof = LANG_PROFILES[lang]
+    return (
+        "len(list_filter(words, w -> list_contains(["
+        + sql_list(prof)
+        + f"], w))) AS {lang}_hits"
+    )
+
+
+_SQL_LANG_BEST = "greatest(" + ", ".join(f"{c}_hits" for c in LANG_PROFILES) + ")"
+_SQL_LANG_PICK = (
+    f"CASE WHEN {_SQL_LANG_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {lang}_hits = {_SQL_LANG_BEST} THEN '{lang}'"
+        for lang in LANG_PROFILES
+    )
+    + " END"
+)
+
+
+@_register(
+    "lang_id",
+    f"""
+WITH {_SQL_WS_WORDS.lstrip()},
+hits AS (
+    SELECT doc_id, {", ".join(_sql_lang_hits(lg) for lg in LANG_PROFILES)}
+    FROM wsw
+)
+SELECT doc_id, {_SQL_LANG_PICK} AS detected_lang FROM hits
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", detect_language(F.col("text")).alias("detected_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — quality scoring (F3), full five-metric model
+# ---------------------------------------------------------------------------
+_SQL_QUALITY = r"""
+WITH base AS (
+    SELECT doc_id, text,
+           length(text) AS n,
+           (length(trim(text)) = 0) AS blank,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                     / length(text) ELSE 0.0 END AS ar,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       w -> len(w) > 0) AS words,
+           (floor(length(text) / 2500.0) + 1)::BIGINT AS page_count
+    FROM documents
+),
+m AS (
+    SELECT doc_id, blank, n, page_count,
+        CASE WHEN ar >= 0.6 AND ar <= 0.9 THEN 1.0
+             WHEN ar >= 0.4 AND ar < 0.6 THEN 0.7
+             WHEN ar >= 0.2 AND ar < 0.4 THEN 0.4
+             ELSE 0.1 END AS text_quality,
+        CASE WHEN page_count * 2500 > 0 THEN
+            CASE WHEN least(n::DOUBLE / (page_count * 2500), 2.0) >= 0.8 THEN 1.0
+                 WHEN least(n::DOUBLE / (page_count * 2500), 2.0) >= 0.5 THEN 0.8
+                 WHEN least(n::DOUBLE / (page_count * 2500), 2.0) >= 0.2 THEN 0.5
+                 ELSE 0.2 END
+        ELSE 0.0 END AS extraction_ratio,
+        CASE WHEN len(words) > 0 THEN
+            CASE WHEN len(array_to_string(words, ''))::DOUBLE / len(words) >= 4
+                      AND len(array_to_string(words, ''))::DOUBLE / len(words) <= 8 THEN 1.0
+                 WHEN (len(array_to_string(words, ''))::DOUBLE / len(words) >= 3
+                       AND len(array_to_string(words, ''))::DOUBLE / len(words) < 4)
+                   OR (len(array_to_string(words, ''))::DOUBLE / len(words) > 8
+                       AND len(array_to_string(words, ''))::DOUBLE / len(words) <= 12) THEN 0.7
+                 ELSE 0.3 END
+        ELSE 0.0 END AS content_density,
+        CASE WHEN len(words) > 50 THEN
+            CASE WHEN len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE
+                      / len(words) >= 0.4 THEN 1.0
+                 WHEN len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE
+                      / len(words) >= 0.2 THEN 0.6
+                 WHEN len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE
+                      / len(words) >= 0.1 THEN 0.3
+                 ELSE 0.1 END
+        ELSE 0.8 END AS language_quality,
+        least(
+            (CASE WHEN regexp_matches(text, '\n\n') THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN regexp_matches(text, '[.!?]\s+[A-Z]') THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN regexp_matches(text, ':\s*\n') THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN regexp_matches(text, '^\s*[0-9]+\.') THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN regexp_matches(text, '^\s*[•\-\*]') THEN 0.2 ELSE 0.0 END),
+            1.0) AS structure_quality
+    FROM base
+)
+SELECT doc_id,
+       round(CASE WHEN blank THEN 0.0 ELSE text_quality END, 4) AS text_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE extraction_ratio END, 4) AS extraction_ratio,
+       round(CASE WHEN blank THEN 0.0 ELSE content_density END, 4) AS content_density,
+       round(CASE WHEN blank THEN 0.0 ELSE language_quality END, 4) AS language_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE structure_quality END, 4) AS structure_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE
+             text_quality * 0.40 + extraction_ratio * 0.25
+           + content_density * 0.15 + language_quality * 0.10
+           + structure_quality * 0.10 END, 4) AS overall_score
+FROM m
+"""
+
+
+@_register("quality_scores", _SQL_QUALITY)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pages = (F.floor(F.length("text") / 2500.0) + 1).cast("long")
+    q = quality_struct(F.col("text"), pages)
+    return d.select("doc_id", q.alias("q")).select(
+        "doc_id",
+        F.round("q.text_quality", 4).alias("text_quality"),
+        F.round("q.extraction_ratio", 4).alias("extraction_ratio"),
+        F.round("q.content_density", 4).alias("content_density"),
+        F.round("q.language_quality", 4).alias("language_quality"),
+        F.round("q.structure_quality", 4).alias("structure_quality"),
+        F.round("q.overall_score", 4).alias("overall_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — events: hourly tumbling-window aggregation
+# ---------------------------------------------------------------------------
+@_register(
+    "events_hourly",
+    """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — sessionization (gap > 30 min) per user
+# ---------------------------------------------------------------------------
+@_register(
+    "sessionize",
+    """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       max(session_id)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — TPC-H Q1-style pricing summary (join/agg plumbing check)
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — broadcast join: revenue per nation (TPC-H Q5-ish)
+# ---------------------------------------------------------------------------
+@_register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def flagship(spark: SparkSession,
+             sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The flagship end-to-end query: full KG pipeline -> triples."""
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    res = run_pipeline(spark, docs, PipelineConfig())
+    return res["triples"]

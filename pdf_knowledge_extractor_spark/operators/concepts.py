@@ -1,0 +1,99 @@
+"""Concept aggregation — the salted groupBy at the heart of the
+pipeline.
+
+Semantics reproduced from _extract_concepts
+(semantic_analyzer.py:391-448): group mentions by
+(lower(text), concept_type); frequency = mention count; importance =
+mean of mention scores; document_ids = distinct doc list; drop groups
+with frequency < min_concept_frequency (default 2,
+semantic_analyzer.py:101); keep top ``max_concepts`` (default 100)
+ordered by (importance desc, frequency desc)
+(semantic_analyzer.py:446-448).
+
+Scale design: a single groupBy on concept text is skew-prone — hot
+entities (stdlib symbols, common keywords) can own >30% of the mention
+stream. We therefore pre-aggregate on a salted key
+(concept, salt = pmod(hash(doc_id), n_salts)) so every reducer sees a
+bounded slice of the hot key, then merge the partials in a second,
+tiny aggregation. Map-side partial aggregation handles the first
+stage; the second stage groups ~n_salts rows per concept.
+``collect_set(doc_id)`` is bounded by slice() caps so driver/executor
+memory stays bounded at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+MAX_DOC_IDS_PER_CONCEPT = 10_000  # bound list size; counts stay exact
+
+
+def aggregate_concepts(
+    mentions: DataFrame,
+    min_frequency: int = 2,
+    max_concepts: int | None = 100,
+    n_salts: int = DEFAULT_SALTS,
+    doc_id_cap: int = MAX_DOC_IDS_PER_CONCEPT,
+) -> DataFrame:
+    """mentions(doc_id, text, concept_type, importance) ->
+    concepts(text, concept_type, frequency, importance, document_ids,
+    n_documents).
+    """
+    salted = mentions.select(
+        F.lower(F.col("text")).alias("text"),
+        "concept_type",
+        "importance",
+        "doc_id",
+        F.pmod(F.hash("doc_id"), F.lit(n_salts)).alias("_salt"),
+    )
+    partial = salted.groupBy("text", "concept_type", "_salt").agg(
+        F.count("*").alias("_cnt"),
+        F.sum("importance").alias("_imp_sum"),
+        F.collect_set("doc_id").alias("_docs"),
+    )
+    merged = partial.groupBy("text", "concept_type").agg(
+        F.sum("_cnt").alias("frequency"),
+        (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
+            1,
+            doc_id_cap,
+        ).alias("document_ids"),
+    )
+    merged = merged.withColumn("n_documents", F.size("document_ids"))
+    if min_frequency and min_frequency > 1:
+        merged = merged.filter(F.col("frequency") >= min_frequency)
+    if max_concepts:
+        # global top-k: rank then limit (tiny after the HAVING filter)
+        merged = (
+            merged.orderBy(
+                F.desc("importance"), F.desc("frequency"), F.asc("text")
+            ).limit(max_concepts)
+        )
+    return merged
+
+
+def concept_id(text_col, type_col=None) -> F.Column:
+    """Stable concept node id: 'concept_<text with non-word -> _>'
+    (semantic_analyzer.py:531-543 minting rule)."""
+    base = F.regexp_replace(F.lower(text_col), r"[^\w]", "_")
+    return F.concat(F.lit("concept_"), base)
+
+
+def per_doc_top_keywords(
+    mentions: DataFrame, k: int = 20
+) -> DataFrame:
+    """Per-doc keyword frequency top-k (claude_integration.py:1291-1326):
+    count mentions per (doc, word); keep top-k by (count desc, word asc)."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("text")
+    )
+    return (
+        mentions.filter(F.col("concept_type") == "keyword")
+        .groupBy("doc_id", "text")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,140 @@
+"""Document-similarity θ self-join (J1): exact + LSH-blocked paths.
+
+Semantics reproduced from _compute_document_similarities
+(semantic_analyzer.py:255-389): all-pairs cosine over L2-normalized
+TF-IDF, keep pairs with score >= threshold (default 0.7,
+semantic_analyzer.py:99), emit (doc1, doc2) once with doc1 < doc2;
+``shared_concepts`` ships empty (reference leaves it deferred,
+semantic_analyzer.py:353-354).
+
+Scale design:
+- exact path: long-form self-join on term — sum(w_a * w_b) per pair.
+  The join shuffles on hash(term); a per-term posting-list cap (df
+  stop-listing) bounds the quadratic blowup of ultra-frequent terms
+  exactly like the reference's stopword drop bounds its vectorizer.
+  Right at small scale and for oracle checking; O(sum df^2) at 100 TB.
+- scale path: BucketedRandomProjectionLSH over the hashed TF-IDF
+  vectors. For unit vectors, cosine >= t  <=>  euclidean distance
+  <= sqrt(2 - 2t), so the LSH approxSimilarityJoin with that radius
+  blocks candidates; we then re-score candidates with the exact dot
+  product (cheap: candidate set is near-linear) so emitted scores are
+  exact, only recall is approximate (tunable via numHashTables).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_THRESHOLD = 0.7
+
+
+def exact_cosine_pairs(
+    tfidf: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, term, weight[, df]) L2-normalized -> pairs
+    (doc1_id, doc2_id, similarity_score) with doc1 < doc2 and score >=
+    threshold. ``max_df`` stop-lists terms occurring in more docs
+    (bounds the term self-join at scale)."""
+    t = tfidf
+    if max_df is not None and "df" in t.columns:
+        t = t.filter(F.col("df") <= max_df)
+    a = t.select(
+        F.col("doc_id").alias("doc1_id"),
+        F.col("term"),
+        F.col("weight").alias("w1"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc2_id"),
+        F.col("term"),
+        F.col("weight").alias("w2"),
+    )
+    return (
+        a.join(b, "term")
+        .filter(F.col("doc1_id") < F.col("doc2_id"))
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
+        .filter(F.col("similarity_score") >= threshold)
+    )
+
+
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    num_hash_tables: int = 8,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: LSH candidate blocking + exact rescoring.
+
+    ``vectors``: (doc_id, features: Vector), rows assumed
+    L2-normalized. Returns (doc1_id, doc2_id, similarity_score).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    radius = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        bucketLength=bucket_length,
+        seed=seed,
+    )
+    model = lsh.fit(vectors)
+    pairs = model.approxSimilarityJoin(
+        vectors, vectors, radius, distCol="_dist"
+    )
+    out = (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc1_id"),
+            F.col("datasetB.doc_id").alias("doc2_id"),
+            # unit vectors: cos = 1 - dist^2 / 2  (exact rescore)
+            (1.0 - F.col("_dist") * F.col("_dist") / 2.0).alias(
+                "similarity_score"
+            ),
+        )
+        .filter(F.col("similarity_score") >= threshold)
+    )
+    return out
+
+
+def with_similarity_metadata(pairs: DataFrame) -> DataFrame:
+    """Attach the reference record shape (similarity_type='cosine',
+    shared_concepts=[] — semantic_analyzer.py:42-49, 353-354)."""
+    return pairs.select(
+        "doc1_id",
+        "doc2_id",
+        "similarity_score",
+        F.lit("cosine").alias("similarity_type"),
+        F.array().cast("array<string>").alias("shared_concepts"),
+    )
+
+
+def top_similar_per_doc(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k similar docs per target (semantic_analyzer.py:574-587):
+    symmetrize then window top-k."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col("doc1_id").alias("doc_id"),
+        F.col("doc2_id").alias("other_id"),
+        "similarity_score",
+    ).unionByName(
+        pairs.select(
+            F.col("doc2_id").alias("doc_id"),
+            F.col("doc1_id").alias("other_id"),
+            "similarity_score",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("similarity_score"), F.asc("other_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,112 @@
+"""TF-IDF — DataFrame-native long form + Spark ML vector form.
+
+Semantics reproduced from the reference vectorizer setup
+(semantic_analyzer.py:286-304): sublinear TF (1 + ln(tf)), smooth-free
+idf = ln(N / df), L2-normalized rows; token rule = the keyword token
+rule (lexicons.TOKEN rules); per-doc top-k keyword scoring
+(semantic_analyzer.py:653-674).
+
+The long form ``(doc_id, term, weight)`` is the engine's canonical
+representation: it is oracle-checkable in SQL, joins/aggregates shuffle
+on hash(term) or hash(doc_id) with map-side partial aggregation, and it
+feeds both the exact cosine self-join and the LSH vectorizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_frequencies(mentions: DataFrame) -> DataFrame:
+    """(doc_id, text) mention stream -> (doc_id, term, tf)."""
+    return (
+        mentions.groupBy(F.col("doc_id"), F.col("text").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_longform(
+    mentions: DataFrame,
+    n_docs: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Long-form L2-normalized sublinear TF-IDF.
+
+    weight = (1 + ln(tf)) * ln(N / df); rows with idf == 0 (term in
+    every doc) keep weight 0 and are dropped after normalization.
+    ``n_docs``: pass the corpus size if already known to skip a count
+    job; otherwise computed via an aggregate + broadcast cross join
+    (stays distributed — no driver collect of data rows).
+    """
+    tf = term_frequencies(mentions)
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    if n_docs is None:
+        n_df = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+        tf = tf.crossJoin(F.broadcast(n_df))
+    else:
+        tf = tf.withColumn("n_docs", F.lit(n_docs))
+    weighted = (
+        tf.join(df_t, "term")
+        .withColumn(
+            "weight",
+            (1.0 + F.log(F.col("tf"))) * F.log(F.col("n_docs") / F.col("df")),
+        )
+        .select("doc_id", "term", "tf", "df", "weight")
+    )
+    if not normalize:
+        return weighted
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_norm")
+    )
+    return (
+        weighted.join(norms, "doc_id")
+        .filter(F.col("_norm") > 0)
+        .withColumn("weight", F.col("weight") / F.col("_norm"))
+        .drop("_norm")
+    )
+
+
+def per_doc_top_terms(tfidf: DataFrame, k: int = 20) -> DataFrame:
+    """Per-doc top-k terms by tfidf weight (keyword extraction,
+    semantic_analyzer.py:653-674). Deterministic tie-break on term."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        tfidf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def to_ml_vectors(tfidf: DataFrame, vocab_size: int = 1 << 18) -> DataFrame:
+    """Long form -> (doc_id, features: SparseVector) by hashing terms
+    into a fixed vocab space (feature-hashing; collisions vanish at
+    2^18 for <100k-term vocabularies). Feeds KMeans / LSH."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import types as T
+
+    indexed = (
+        tfidf.withColumn(
+            "_idx", F.pmod(F.xxhash64("term"), F.lit(vocab_size)).cast("int")
+        )
+        # merge hash collisions before vector assembly
+        .groupBy("doc_id", "_idx")
+        .agg(F.sum("weight").alias("_w"))
+    )
+    grouped = indexed.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_idx"), F.col("_w")))
+        ).alias("_entries")
+    )
+
+    @F.udf(VectorUDT())
+    def _to_vec(entries):
+        if not entries:
+            return Vectors.sparse(vocab_size, [])
+        return Vectors.sparse(
+            vocab_size,
+            [e["_idx"] for e in entries],
+            [e["_w"] for e in entries],
+        )
+
+    return grouped.select("doc_id", _to_vec("_entries").alias("features"))
