@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the flagship
+end-to-end KG pipeline (LSH similarity path) over the deterministic
+synthetic source-code corpus, and prints ONE JSON line:
+
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., "triples": N,
+ "triples_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_knowledge_extractor_spark import entry_queries
+from pdf_knowledge_extractor_spark.corpus import generate_corpus
+from pdf_knowledge_extractor_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from pdf_knowledge_extractor_spark.session import get_spark
+
+# headline per-operator queries (similar_pairs excluded here: the
+# driver documents table has a 24-word vocabulary, making all-pairs
+# output O(n^2) by construction; the exact path is correctness-gated
+# at sf0.01 via the oracle and the scale path is benched in the
+# pipeline below)
+HEADLINE = (
+    "tpch_q1",
+    "revenue_by_nation",
+    "events_hourly",
+    "sessionize",
+    "doc_stats",
+    "quality_scores",
+    "doc_type",
+    "sentiment",
+    "keywords_topk",
+    "concepts_agg",
+    "tfidf_topk",
+    "related_docs",
+    "contains_triples",
+    "exact_dedup",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    corpus_rows = int(os.environ.get("PKE_BENCH_CORPUS_ROWS", str(int(200_000 * sf))))
+
+    spark = get_spark("pke-bench", cpus=cpus)
+    qs = entry_queries.get_queries()
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full KG pipeline over the synthetic code corpus
+    t0 = time.perf_counter()
+    corpus = generate_corpus(spark, corpus_rows)
+    cfg = PipelineConfig(use_lsh=True)
+    res = run_pipeline(
+        spark, corpus, cfg, id_col="doc_id", text_col="content",
+        lang_col="lang",
+    )
+    n_triples = res["triples"].count()
+    dt = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(dt, 3)
+
+    total = round(time.perf_counter() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_rows": corpus_rows,
+                "triples": n_triples,
+                "triples_per_sec": round(n_triples / dt, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

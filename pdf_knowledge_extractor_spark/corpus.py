@@ -1,0 +1,150 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the BASELINE.json ``input_hint`` table
+``(repo, path, commit, lang, content)`` at any row count, fully
+Spark-native (spark.range + column expressions — no driver-side data,
+no Python in the generation path) and deterministic in the row id
+(xxhash64-derived pseudo-randomness; same N -> byte-identical corpus).
+
+Embedded structure (FIXTURES.md §1) so expected triples are computable
+in closed form:
+- one HOT symbol (``CommonUtil``) imported by ~30% of rows — the skew
+  test for the salted concept aggregation;
+- near-duplicate pairs: rows where id % 23 == 1 share their body with
+  id-1 (only the def name differs) — the similarity-join test;
+- alias variants of the same entity (``DataLoader`` / ``Data_Loader``
+  / ``data_loader``) — the canonicalization test;
+- a few empty and punctuation-only rows (id % 199 ∈ {7, 8}) — the
+  quality-filter test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ("python", "java", "go", "js", "md")
+EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "md": "md"}
+
+# vocabulary for body text: 25 x 20 = 500 composed source-code-flavored
+# words, large enough that two random 40-word bodies share few tokens
+# (cosine ~0.1) while intentional near-dup rows stay at ~1.0
+_PREFIXES = (
+    "buffer", "cache", "client", "column", "config", "cursor", "decode",
+    "encode", "engine", "export", "filter", "format", "handle", "index",
+    "logger", "memory", "merge", "module", "object", "offset",
+    "parse", "partition", "query", "record", "reduce",
+)
+_SUFFIXES = (
+    "pool", "node", "task", "slot", "unit", "page", "span", "lane",
+    "tier", "zone", "rank", "seed", "path", "sink", "gate", "fork",
+    "ring", "heap", "disk", "wire",
+)
+BODY_VOCAB = tuple(f"{p}{s}" for p in _PREFIXES for s in _SUFFIXES)
+
+# module pool for import statements; index 0 is the HOT module
+MODULES = (
+    "commonutil", "jsonlib", "httpcore", "mathkit", "datautil",
+    "logkit", "netio", "parsekit", "cryptolib", "sqlkit",
+    "figlib", "asyncpool", "memcache", "regexkit", "yamlio",
+)
+
+ALIAS_SYMBOLS = ("DataLoader", "Data_Loader", "dataLoader")
+
+HOT_SYMBOL = "CommonUtil"
+HOT_FRACTION_MOD = 10  # ids with hash%10 < 3 => ~30% hot rows
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_rows: int = 10_000,
+    n_repos: int = 20,
+    body_words: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """-> DataFrame(repo, path, commit, lang, content, doc_id)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+    df = spark.range(0, n_rows, 1, partitions)
+    rid = F.col("id")
+
+    def h(salt: int):
+        """Deterministic 64-bit hash stream per row and salt."""
+        return F.abs(F.xxhash64(rid, F.lit(salt)))
+
+    repo_i = h(1) % n_repos
+    repo = F.concat(F.lit("org"), (repo_i % 5).cast("string"),
+                    F.lit("/proj"), repo_i.cast("string"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (h(2) % len(LANGS) + 1).cast("int")
+    )
+    ext = F.element_at(
+        F.array(*[F.lit(EXT[x]) for x in LANGS]),
+        (h(2) % len(LANGS) + 1).cast("int"),
+    )
+    path = F.concat(
+        F.lit("src/mod"), (h(3) % 50).cast("string"),
+        F.lit("/file"), rid.cast("string"), F.lit("."), ext,
+    )
+    commit = F.sha2(F.concat(repo, F.lit("@"), path), 256).substr(1, 40)
+
+    # --- content assembly -------------------------------------------------
+    vocab = F.array(*[F.lit(w) for w in BODY_VOCAB])
+    # body from the PREVIOUS id for near-dup rows (id % 23 == 1 copies id-1)
+    body_seed = F.when(rid % 23 == 1, rid - 1).otherwise(rid)
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(body_words)),
+            lambda j: F.element_at(
+                vocab,
+                (F.abs(F.xxhash64(body_seed, F.lit(100), j))
+                 % len(BODY_VOCAB) + 1).cast("int"),
+            ),
+        ),
+    )
+
+    hot = (h(4) % HOT_FRACTION_MOD) < 3
+    mod_pick = F.element_at(
+        F.array(*[F.lit(m) for m in MODULES]),
+        (h(5) % (len(MODULES) - 1) + 2).cast("int"),  # skip index 1 (hot)
+    )
+    import_line = F.concat(
+        F.lit("import "),
+        F.when(hot, F.lit(MODULES[0])).otherwise(mod_pick),
+    )
+    hot_ref = F.when(hot, F.lit(" " + HOT_SYMBOL + ".setup()")).otherwise(
+        F.lit("")
+    )
+    alias_sym = F.element_at(
+        F.array(*[F.lit(s) for s in ALIAS_SYMBOLS]),
+        (h(6) % len(ALIAS_SYMBOLS) + 1).cast("int"),
+    )
+    alias_line = F.when(
+        h(7) % 4 == 0, F.concat(F.lit("\nclass "), alias_sym, F.lit(":"))
+    ).otherwise(F.lit(""))
+    def_line = F.concat(
+        F.lit("\ndef fn_"), rid.cast("string"), F.lit("(arg): return arg")
+    )
+
+    content = F.concat(
+        import_line, hot_ref, alias_line, def_line, F.lit("\n"), body, F.lit("\n")
+    )
+    # quality-filter rows: empty / punctuation-only
+    content = (
+        F.when(rid % 199 == 7, F.lit(""))
+        .when(rid % 199 == 8, F.lit("!!! ??? ### $$$ %%% ^^^ &&& *** ((("))
+        .otherwise(content)
+    )
+
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    ).withColumn(
+        "doc_id",
+        F.concat(F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"),
+                 F.col("commit").substr(1, 8)),
+    )

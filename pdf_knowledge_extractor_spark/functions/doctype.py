@@ -17,11 +17,11 @@ from pdf_knowledge_extractor_spark.lexicons import DOC_TYPE_LEXICONS, DOC_TYPE_O
 
 
 def _category_hits(text_lower: Column, phrases: tuple[str, ...]) -> Column:
-    score = None
-    for p in phrases:
-        hit = F.when(text_lower.contains(p), F.lit(1)).otherwise(F.lit(0))
-        score = hit if score is None else score + hit
-    return score
+    # array-filter keeps the expression tree small (a 100-term CASE sum
+    # overflows janino's 64KB codegen method limit and falls back to
+    # slow interpreted evaluation)
+    lex = F.array(*[F.lit(p) for p in phrases])
+    return F.size(F.filter(lex, lambda p: F.contains(text_lower, p)))
 
 
 def doc_type(text: Column) -> Column:

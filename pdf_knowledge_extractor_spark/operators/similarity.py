@@ -65,14 +65,24 @@ def exact_cosine_pairs(
 def lsh_cosine_pairs(
     vectors: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 4,
     bucket_length: float = 0.5,
     seed: int = 42,
+    tfidf: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path: LSH candidate blocking + exact rescoring.
 
     ``vectors``: (doc_id, features: Vector), rows assumed
-    L2-normalized. Returns (doc1_id, doc2_id, similarity_score).
+    L2-normalized (hashed term space — collisions OK, they only
+    inflate the candidate set). Returns
+    (doc1_id, doc2_id, similarity_score).
+
+    When ``tfidf`` (the long-form L2-normalized table) is given,
+    candidate pairs are re-scored EXACTLY by the term-join dot product,
+    so emitted scores are collision-free and identical to the exact
+    path — only recall is approximate (validated >= 0.95 by tests at
+    the default parameters). Without it, scores derive from the hashed
+    vectors via cos = 1 - dist^2/2.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
@@ -85,22 +95,37 @@ def lsh_cosine_pairs(
         seed=seed,
     )
     model = lsh.fit(vectors)
+    # slack on the radius when rescoring: hash collisions can only
+    # *raise* hashed-vector similarity, never lower it, so the exact
+    # radius already over-collects; no extra slack needed for recall.
     pairs = model.approxSimilarityJoin(
         vectors, vectors, radius, distCol="_dist"
     )
-    out = (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc1_id"),
-            F.col("datasetB.doc_id").alias("doc2_id"),
-            # unit vectors: cos = 1 - dist^2 / 2  (exact rescore)
-            (1.0 - F.col("_dist") * F.col("_dist") / 2.0).alias(
-                "similarity_score"
-            ),
+    cand = pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("doc1_id"),
+        F.col("datasetB.doc_id").alias("doc2_id"),
+        (1.0 - F.col("_dist") * F.col("_dist") / 2.0).alias("_approx"),
+    )
+    if tfidf is None:
+        return cand.filter(F.col("_approx") >= threshold).select(
+            "doc1_id", "doc2_id", F.col("_approx").alias("similarity_score")
         )
+    a = tfidf.select(
+        F.col("doc_id").alias("doc1_id"), "term", F.col("weight").alias("w1")
+    )
+    b = tfidf.select(
+        F.col("doc_id").alias("doc2_id"), "term", F.col("weight").alias("w2")
+    )
+    return (
+        cand.select("doc1_id", "doc2_id")
+        .join(a, "doc1_id")
+        .join(b, ["doc2_id", "term"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
         .filter(F.col("similarity_score") >= threshold)
     )
-    return out
 
 
 def with_similarity_metadata(pairs: DataFrame) -> DataFrame:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_knowledge_extractor_spark.functions.doctype import doc_type
@@ -34,7 +34,6 @@ from pdf_knowledge_extractor_spark.functions.text import (
 )
 from pdf_knowledge_extractor_spark.operators.concepts import (
     aggregate_concepts,
-    per_doc_top_keywords,
 )
 from pdf_knowledge_extractor_spark.operators.graph import build_graph
 from pdf_knowledge_extractor_spark.operators.mentions import (
@@ -70,7 +69,10 @@ class PipelineConfig:
     related_top_k: int = 10
     per_doc_keywords: int = 20
     use_lsh: bool = False           # scale path for the pair join
-    lsh_hash_tables: int = 8
+    lsh_hash_tables: int = 4
+    lsh_dims: int = 1 << 12         # hashed term space for blocking only
+                                    # (rescoring is exact; raise to 2^16+
+                                    # for vocabularies >> 100k terms)
     with_clusters: bool = False     # KMeans adds driver-side loop; opt-in
     with_entities: bool = True      # code-entity detectors if lang col
     n_salts: int = 16
@@ -112,7 +114,7 @@ def run_pipeline(
     """Run the full KG-construction DAG; returns every relation."""
     cfg = cfg or PipelineConfig()
 
-    enriched = enrich_documents(docs, id_col, text_col)
+    enriched = enrich_documents(docs, id_col, text_col).persist()
     mentions = all_mentions(
         enriched, id_col=id_col, text_col=text_col,
         lang_col=lang_col if cfg.with_entities else None,
@@ -131,19 +133,29 @@ def run_pipeline(
     ).persist()
 
     if cfg.use_lsh:
-        vectors = to_ml_vectors(tfidf)
+        vectors = to_ml_vectors(tfidf, vocab_size=cfg.lsh_dims).persist()
         pairs = lsh_cosine_pairs(
             vectors,
             threshold=cfg.similarity_threshold,
             num_hash_tables=cfg.lsh_hash_tables,
+            tfidf=tfidf,
         )
     else:
         pairs = exact_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     similarities = with_similarity_metadata(pairs).persist()
 
-    doc_kw = per_doc_top_keywords(kw_mentions, k=cfg.per_doc_keywords)
+    # per-doc top keywords straight off the persisted tfidf long form
+    # (its tf column IS the per-doc keyword count — no recompute)
+    kw_window = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("term")
+    )
+    doc_kw = (
+        tfidf.withColumn("_r", F.row_number().over(kw_window))
+        .filter(F.col("_r") <= cfg.per_doc_keywords)
+        .select("doc_id", F.col("term").alias("text"))
+    )
     related = related_documents(
-        doc_kw.select("doc_id", "text"),
+        doc_kw,
         min_shared=cfg.min_shared_keywords,
         top_k=cfg.related_top_k,
     )
