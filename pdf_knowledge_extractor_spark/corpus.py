@@ -40,7 +40,10 @@ _SUFFIXES = (
     "tier", "zone", "rank", "seed", "path", "sink", "gate", "fork",
     "ring", "heap", "disk", "wire",
 )
-BODY_VOCAB = tuple(f"{p}{s}" for p in _PREFIXES for s in _SUFFIXES)
+_VARIANTS = ("alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma", "theta")
+BODY_VOCAB = tuple(
+    f"{p}{s}{v}" for p in _PREFIXES for s in _SUFFIXES for v in _VARIANTS
+)
 
 # module pool for import statements; index 0 is the HOT module
 MODULES = (
@@ -90,18 +93,22 @@ def generate_corpus(
 
     # --- content assembly -------------------------------------------------
     vocab = F.array(*[F.lit(w) for w in BODY_VOCAB])
+    n_vocab = len(BODY_VOCAB)
     # body from the PREVIOUS id for near-dup rows (id % 23 == 1 copies id-1)
     body_seed = F.when(rid % 23 == 1, rid - 1).otherwise(rid)
+
+    def zipf_word(j):
+        """Zipf(s=1) word pick: index = floor(V^u) for u ~ U[0,1)
+        (log-uniform => P(idx=k) ∝ 1/k). Gives the corpus a realistic
+        Zipfian term distribution: a few hot terms (skew/salting
+        tests), a long rare tail (prefix-filter selectivity)."""
+        u = (F.abs(F.xxhash64(body_seed, F.lit(100), j)) % 1_000_000) / 1_000_000.0
+        idx = F.floor(F.pow(F.lit(float(n_vocab)), u)).cast("int")
+        return F.element_at(vocab, F.least(idx, F.lit(n_vocab - 1)) + 1)
+
     body = F.concat_ws(
         " ",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(body_words)),
-            lambda j: F.element_at(
-                vocab,
-                (F.abs(F.xxhash64(body_seed, F.lit(100), j))
-                 % len(BODY_VOCAB) + 1).cast("int"),
-            ),
-        ),
+        F.transform(F.sequence(F.lit(1), F.lit(body_words)), zipf_word),
     )
 
     hot = (h(4) % HOT_FRACTION_MOD) < 3

@@ -408,13 +408,21 @@ counts AS (
     SELECT doc_id, word, count(*)::BIGINT AS cnt
     FROM kw GROUP BY doc_id, word
 ),
-topkw AS (
+topkw0 AS (
     SELECT doc_id, word FROM (
         SELECT doc_id, word,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY cnt DESC, word ASC) AS r
         FROM counts
     ) WHERE r <= 20
+),
+ndocs_r AS (SELECT count(DISTINCT doc_id) AS n FROM topkw0),
+hot AS (
+    SELECT word FROM topkw0, ndocs_r
+    GROUP BY word, n HAVING count(DISTINCT doc_id) > n * 0.9
+),
+topkw AS (
+    SELECT * FROM topkw0 WHERE word NOT IN (SELECT word FROM hot)
 ),
 pairs AS (
     SELECT a.doc_id AS doc_id, b.doc_id AS related_doc_id,
@@ -436,7 +444,8 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = keyword_mentions(d)
     topkw = per_doc_top_keywords(km, k=20)
     return related_documents(
-        topkw.select("doc_id", "text"), min_shared=3, top_k=10
+        topkw.select("doc_id", "text"), min_shared=3, top_k=10,
+        max_df_fraction=0.9,
     ).select(
         "doc_id",
         "related_doc_id",

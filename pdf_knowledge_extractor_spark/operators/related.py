@@ -29,16 +29,27 @@ def related_documents(
     doc_keywords: DataFrame,
     min_shared: int = 3,
     top_k: int = 10,
-    max_df_cap: int | None = 10_000,
+    max_df_fraction: float | None = 0.5,
 ) -> DataFrame:
     """doc_keywords(doc_id, text) posting list -> directed related pairs
-    (doc_id, related_doc_id, shared_kw_count, rank<=top_k)."""
+    (doc_id, related_doc_id, shared_kw_count, rank<=top_k).
+
+    ``max_df_fraction`` stop-lists keywords present in more than that
+    fraction of documents — the posting self-join is Σ df², so one
+    corpus-wide keyword alone squares the corpus. This mirrors the
+    reference's defenses (stopword drop at claude_integration.py:1305
+    and the vectorizer max_df at semantic_analyzer.py:288): a keyword
+    shared by most documents carries no relatedness signal."""
     posts = doc_keywords.select("doc_id", F.col("text").alias("keyword"))
-    if max_df_cap:
+    if max_df_fraction is not None:
+        n_docs = posts.select(
+            F.countDistinct("doc_id").alias("_n")
+        )
         hot = (
             posts.groupBy("keyword")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df_cap)
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("_df") > F.col("_n") * max_df_fraction)
             .select("keyword")
         )
         posts = posts.join(F.broadcast(hot), "keyword", "left_anti")

@@ -128,6 +128,69 @@ def lsh_cosine_pairs(
     )
 
 
+def prefix_cosine_pairs(
+    tfidf: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Exact threshold cosine self-join via prefix filtering
+    (all-pairs similarity search, Bayardo/Ma/Srikant, WWW'07 — public
+    algorithm). The default scale path: exact results, no LSH recall
+    loss, and the candidate join touches only *prefix* posting lists.
+
+    Terms are canonically ordered rare-first (df asc). For an
+    L2-normalized doc, once the cumulative squared weight of its
+    rarest terms reaches 1 - t², the remaining (common) terms alone
+    cannot push any pair's dot product to t — so only the rare-term
+    prefix participates in the candidate join; candidates that share a
+    term in BOTH prefixes are re-scored exactly over the full term
+    lists. Cost drops from Σ df² to Σ prefix_df², which removes the
+    hot common terms from the quadratic join at 100 TB scale.
+
+    Requires ``df`` column (kept by tfidf_longform) and normalized
+    weights.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
+    with_cum = tfidf.withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum(F.col("weight") * F.col("weight")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ),
+    )
+    # row is in the prefix while the mass at-or-after it can still
+    # reach the threshold: 1 - cum_before >= t^2
+    prefix = with_cum.filter(
+        (1.0 - F.col("_cum_before")) >= (threshold * threshold - eps)
+    ).select("doc_id", "term")
+
+    pa = prefix.select(F.col("doc_id").alias("doc1_id"), "term")
+    pb = prefix.select(F.col("doc_id").alias("doc2_id"), "term")
+    candidates = (
+        pa.join(pb, "term")
+        .filter(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+    a = tfidf.select(
+        F.col("doc_id").alias("doc1_id"), "term", F.col("weight").alias("w1")
+    )
+    b = tfidf.select(
+        F.col("doc_id").alias("doc2_id"), "term", F.col("weight").alias("w2")
+    )
+    return (
+        candidates.join(a, "doc1_id")
+        .join(b, ["doc2_id", "term"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
+        .filter(F.col("similarity_score") >= threshold)
+    )
+
+
 def with_similarity_metadata(pairs: DataFrame) -> DataFrame:
     """Attach the reference record shape (similarity_type='cosine',
     shared_concepts=[] — semantic_analyzer.py:42-49, 353-354)."""

@@ -47,6 +47,7 @@ from pdf_knowledge_extractor_spark.operators.related import (
 from pdf_knowledge_extractor_spark.operators.similarity import (
     exact_cosine_pairs,
     lsh_cosine_pairs,
+    prefix_cosine_pairs,
     with_similarity_metadata,
 )
 from pdf_knowledge_extractor_spark.operators.tfidf import (
@@ -68,7 +69,13 @@ class PipelineConfig:
     min_shared_keywords: int = 3
     related_top_k: int = 10
     per_doc_keywords: int = 20
-    use_lsh: bool = False           # scale path for the pair join
+    # similarity-join physical strategy:
+    #  "exact"  — full term self-join (small corpora / oracle parity)
+    #  "prefix" — prefix-filtered exact join (default scale path,
+    #             Bayardo WWW'07: exact results, Σ prefix_df² cost)
+    #  "lsh"    — BucketedRandomProjection blocking + exact rescore
+    #             (approximate recall, tunable)
+    similarity_strategy: str = "prefix"
     lsh_hash_tables: int = 4
     lsh_dims: int = 1 << 12         # hashed term space for blocking only
                                     # (rescoring is exact; raise to 2^16+
@@ -132,7 +139,7 @@ def run_pipeline(
         n_salts=cfg.n_salts,
     ).persist()
 
-    if cfg.use_lsh:
+    if cfg.similarity_strategy == "lsh":
         vectors = to_ml_vectors(tfidf, vocab_size=cfg.lsh_dims).persist()
         pairs = lsh_cosine_pairs(
             vectors,
@@ -140,6 +147,8 @@ def run_pipeline(
             num_hash_tables=cfg.lsh_hash_tables,
             tfidf=tfidf,
         )
+    elif cfg.similarity_strategy == "prefix":
+        pairs = prefix_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     else:
         pairs = exact_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     similarities = with_similarity_metadata(pairs).persist()
