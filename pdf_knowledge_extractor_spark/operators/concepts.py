@@ -66,12 +66,62 @@ def aggregate_concepts(
     if min_frequency and min_frequency > 1:
         merged = merged.filter(F.col("frequency") >= min_frequency)
     if max_concepts:
-        # global top-k: rank then limit (tiny after the HAVING filter)
+        # global top-k: rank then limit (tiny after the HAVING filter).
+        # importance is rounded in the sort key only: averaged doubles
+        # differ in the last ulp between summation trees, which must not
+        # flip the cut.
         merged = (
             merged.orderBy(
-                F.desc("importance"), F.desc("frequency"), F.asc("text")
+                F.desc(F.round("importance", 9)),
+                F.desc("frequency"),
+                F.asc("text"),
             ).limit(max_concepts)
         )
+    return merged
+
+
+def canonical_merge(
+    concepts: DataFrame,
+    min_frequency: int = 2,
+    max_concepts: int | None = 100,
+) -> DataFrame:
+    """Alias canonicalization (north-rule stage): collapse concept
+    texts whose normalized form (lowercase, [-_.\\s] stripped) matches
+    — e.g. DataLoader / Data_Loader / data_loader — onto the
+    lexicographically smallest variant, merging frequency (sum),
+    importance (frequency-weighted mean) and document_ids (union).
+    The single-hop alias rule is a groupBy; chained alias graphs go
+    through operators.components.connected_components.
+
+    Apply BEFORE the min-frequency / top-k cuts so alias variants pool
+    their evidence.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", "")
+    with_norm = concepts.withColumn("_norm", norm)
+    w = Window.partitionBy("_norm", "concept_type")
+    merged = (
+        with_norm.withColumn("canonical", F.min("text").over(w))
+        .groupBy(F.col("canonical").alias("text"), "concept_type")
+        .agg(
+            F.sum("frequency").alias("frequency"),
+            (
+                F.sum(F.col("importance") * F.col("frequency"))
+                / F.sum("frequency")
+            ).alias("importance"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("document_ids")))
+            ).alias("document_ids"),
+        )
+        .withColumn("n_documents", F.size("document_ids"))
+    )
+    if min_frequency and min_frequency > 1:
+        merged = merged.filter(F.col("frequency") >= min_frequency)
+    if max_concepts:
+        merged = merged.orderBy(
+            F.desc(F.round("importance", 9)),
+            F.desc("frequency"),
+            F.asc("text"),
+        ).limit(max_concepts)
     return merged
 
 

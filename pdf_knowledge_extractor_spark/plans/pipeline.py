@@ -34,6 +34,7 @@ from pdf_knowledge_extractor_spark.functions.text import (
 )
 from pdf_knowledge_extractor_spark.operators.concepts import (
     aggregate_concepts,
+    canonical_merge,
 )
 from pdf_knowledge_extractor_spark.operators.graph import build_graph
 from pdf_knowledge_extractor_spark.operators.mentions import (
@@ -82,6 +83,7 @@ class PipelineConfig:
                                     # for vocabularies >> 100k terms)
     with_clusters: bool = False     # KMeans adds driver-side loop; opt-in
     with_entities: bool = True      # code-entity detectors if lang col
+    canonicalize: bool = True       # alias canonicalization before cuts
     n_salts: int = 16
     extra: dict = field(default_factory=dict)
 
@@ -132,12 +134,22 @@ def run_pipeline(
         kw_mentions.select("doc_id", F.col("text")), normalize=True
     ).persist()
 
-    concepts = aggregate_concepts(
-        mentions,
-        min_frequency=cfg.min_concept_frequency,
-        max_concepts=cfg.max_concepts,
-        n_salts=cfg.n_salts,
-    ).persist()
+    if cfg.canonicalize:
+        raw_concepts = aggregate_concepts(
+            mentions, min_frequency=1, max_concepts=None, n_salts=cfg.n_salts
+        )
+        concepts = canonical_merge(
+            raw_concepts,
+            min_frequency=cfg.min_concept_frequency,
+            max_concepts=cfg.max_concepts,
+        ).persist()
+    else:
+        concepts = aggregate_concepts(
+            mentions,
+            min_frequency=cfg.min_concept_frequency,
+            max_concepts=cfg.max_concepts,
+            n_salts=cfg.n_salts,
+        ).persist()
 
     if cfg.similarity_strategy == "lsh":
         vectors = to_ml_vectors(tfidf, vocab_size=cfg.lsh_dims).persist()

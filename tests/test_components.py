@@ -1,0 +1,42 @@
+"""Connected components (iterative joins) + alias canonicalization."""
+
+from __future__ import annotations
+
+from pdf_knowledge_extractor_spark.operators.components import (
+    canonicalize_aliases,
+    connected_components,
+)
+
+
+def test_connected_components_two_chains(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("p", "q")],
+        "src string, dst string",
+    )
+    labels = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert labels["a"] == labels["b"] == labels["c"] == labels["d"] == "a"
+    assert labels["x"] == labels["y"] == labels["z"] == "x"
+    assert labels["p"] == labels["q"] == "p"
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "src string, dst string",
+    )
+    labels = connected_components(edges, max_iterations=50).collect()
+    comps = {r["component"] for r in labels}
+    assert comps == {"n000"}
+
+
+def test_canonicalize_aliases(spark):
+    df = spark.createDataFrame(
+        [("DataLoader",), ("data_loader",), ("Data-Loader",), ("Other",)],
+        "text string",
+    )
+    rows = {r["text"]: r["canonical"] for r in canonicalize_aliases(df).collect()}
+    assert rows["DataLoader"] == rows["data_loader"] == rows["Data-Loader"]
+    assert rows["Other"] == "Other"

@@ -1,0 +1,82 @@
+"""End-to-end pipeline parity: the Spark-built triple set must match
+the single-process golden restatement at P/R >= 0.95 (BASELINE.json
+north rule; SURVEY.md §5 item 2), plus the per-row sha256 content
+invariant (§5 item 3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_knowledge_extractor_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from tests.golden_reference import golden_triples
+
+FLOAT_PREDS = {"pdf:importanceScore", "pdf:sentimentScore"}
+
+
+def _normalize(triples):
+    out = set()
+    for s, p, o in triples:
+        if p in FLOAT_PREDS:
+            o = f"{round(float(o), 6):.6f}"
+        out.add((s, p, o))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, small_corpus):
+    cfg = PipelineConfig(similarity_strategy="exact", canonicalize=True)
+    return run_pipeline(
+        spark, small_corpus, cfg, id_col="doc_id", text_col="content",
+        lang_col="lang",
+    )
+
+
+def test_triple_parity(spark, small_corpus, pipeline_result):
+    got = _normalize(
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipeline_result["triples"].collect()
+    )
+    docs = [
+        (r["doc_id"], r["content"], r["lang"]) for r in small_corpus.collect()
+    ]
+    expected = _normalize(golden_triples(docs))
+    inter = got & expected
+    precision = len(inter) / len(got)
+    recall = len(inter) / len(expected)
+    assert precision >= 0.95, (
+        f"precision {precision:.4f}; sample extra: "
+        f"{sorted(got - expected)[:5]}"
+    )
+    assert recall >= 0.95, (
+        f"recall {recall:.4f}; sample missing: "
+        f"{sorted(expected - got)[:5]}"
+    )
+
+
+def test_sha256_invariant(spark, small_corpus, pipeline_result):
+    enriched = pipeline_result["documents"]
+    src = small_corpus.select(
+        "doc_id", F.sha2(F.col("content"), 256).alias("src_sha")
+    )
+    joined = enriched.select("doc_id", "content_sha256").join(src, "doc_id")
+    mismatches = joined.filter(
+        F.col("content_sha256") != F.col("src_sha")
+    ).count()
+    assert mismatches == 0
+    assert joined.count() == small_corpus.count()
+
+
+def test_triples_partitioned_write_roundtrip(spark, tmp_path, pipeline_result):
+    from pdf_knowledge_extractor_spark.plans.triples import write_triples
+
+    out = str(tmp_path / "triples")
+    write_triples(pipeline_result["triples"], out, n_buckets=4)
+    back = spark.read.parquet(out)
+    assert back.count() == pipeline_result["triples"].count()
+    # partitioned by pred
+    preds = {r["pred"] for r in back.select("pred").distinct().collect()}
+    assert "contains" in preds and "similar_to" in preds

@@ -1,0 +1,123 @@
+"""Unit parity for the scalar text functions vs independent Python
+restatements (reference semantics per SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_knowledge_extractor_spark.functions.text import (
+    bpe_ish_token_count,
+    char_count,
+    chunk_text,
+    estimate_tokens,
+    fingerprint,
+    keyword_tokens_nostop,
+    uri_encode,
+    word_count,
+)
+from pdf_knowledge_extractor_spark.lexicons import STOP_WORDS
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "",
+    "   ",
+    "one",
+    "hello, world! 123 foo_bar baz-qux",
+    "AAAA bbbb AAAA bbbb cccc",
+    "Special chars: \t\n\r £$%^&*()",
+    "this that with have will from they been",  # all stopwords
+    "x" * 5000,
+]
+
+
+def _df(spark, texts=TEXTS):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+
+def test_word_and_char_counts(spark):
+    rows = (
+        _df(spark)
+        .select(
+            "id",
+            word_count(F.col("text")).alias("wc"),
+            char_count(F.col("text")).alias("cc"),
+        )
+        .collect()
+    )
+    for r in rows:
+        t = TEXTS[r["id"]]
+        assert r["wc"] == len(t.split()), t
+        assert r["cc"] == len(t)
+
+
+def test_estimate_and_bpe_tokens(spark):
+    rows = (
+        _df(spark)
+        .select(
+            "id",
+            estimate_tokens(F.col("text")).alias("est"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        )
+        .collect()
+    )
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    for r in rows:
+        t = TEXTS[r["id"]]
+        assert r["est"] == len(t) // 4
+        assert r["bpe"] == len(bpe_re.findall(t))
+
+
+def test_keyword_tokens_match_reference_rule(spark):
+    rows = (
+        _df(spark)
+        .select("id", keyword_tokens_nostop(F.col("text")).alias("toks"))
+        .collect()
+    )
+    kw_re = re.compile(r"\b[a-z]{4,}\b")
+    for r in rows:
+        t = TEXTS[r["id"]]
+        expected = [w for w in kw_re.findall(t.lower()) if w not in STOP_WORDS]
+        assert r["toks"] == expected, t
+
+
+def test_uri_encode(spark):
+    rows = (
+        spark.createDataFrame(
+            [(0, "Hello World!"), (1, "a@@b##c"), (2, "_lead_trail_"), (3, "x" * 300)],
+            "id long, s string",
+        )
+        .select("id", uri_encode(F.col("s")).alias("enc"))
+        .collect()
+    )
+    vals = {r["id"]: r["enc"] for r in rows}
+    assert vals[0] == "Hello_World"
+    assert vals[1] == "a_b_c"
+    assert vals[2] == "lead_trail"
+    assert len(vals[3]) == 100
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   world"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+        "id long, s string",
+    ).select(fingerprint(F.col("s")).alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_chunking_windows(spark):
+    text = "a" * 2500
+    rows = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(chunk_text(F.col("text"), 1000, 100)).alias("c"))
+        .collect()
+    )
+    chunks = [r["c"] for r in rows]
+    # starts at 0, 900, 1800, 2400-> len 2500: offsets 0,900,1800 cover
+    assert chunks[0] == "a" * 1000
+    assert all(len(c) <= 1000 for c in chunks)
+    # overlap: consecutive chunks share 100 chars of position space
+    assert len(chunks) == (2500 - 1) // 900 + 1
