@@ -895,3 +895,228 @@ def flagship(spark: SparkSession,
     docs = _docs(spark, sf_dir)
     res = run_pipeline(spark, docs, PipelineConfig())
     return res["triples"]
+
+# ---------------------------------------------------------------------------
+# q19 — ANN: exact cosine top-5 neighbors per embedding
+# ---------------------------------------------------------------------------
+@_register(
+    "ann_topk",
+    """
+WITH scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(q.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+)
+SELECT query_id, nbr_id, round(cosine, 4) AS cosine, rank::INT AS rank FROM (
+    SELECT query_id, nbr_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.ann import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv"))
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — embedding near-duplicate pairs (cosine >= 0.35)
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_neardup",
+    """
+SELECT a.vec_id AS doc1_id, b.vec_id AS doc2_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.35
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.ann import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("doc1_id"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("doc2_id"), F.col("v").alias("v2"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc1_id") < F.col("doc2_id"))
+        .withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
+        .filter(F.round("cosine", 6) >= 0.35)
+        .select("doc1_id", "doc2_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — n-gram Jaccard near-dup pairs (3-gram shingles, >= 0.5)
+# ---------------------------------------------------------------------------
+@_register(
+    "ngram_jaccard",
+    r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> len(w) > 0) AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+    FROM words, unnest(range(1, len(ws) - 1)) r(i)
+    WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc1_id, i.doc2_id, i.inter, s1.sz AS sz1, s2.sz AS sz2,
+       round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sz s1 ON i.doc1_id = s1.doc_id
+JOIN sz s2 ON i.doc2_id = s2.doc_id
+WHERE i.inter::DOUBLE / (s1.sz + s2.sz - i.inter) >= 0.5
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        d, threshold=0.5, n=3, max_df=None
+    ).select(
+        "doc1_id",
+        "doc2_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sz1").cast("long").alias("sz1"),
+        F.col("sz2").cast("long").alias("sz2"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — chunking (P3): fixed 1000-char windows, 100 overlap
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_chunks",
+    """
+SELECT doc_id,
+       (1 + floor((greatest(length(text), 1) - 1) / 900))::BIGINT AS n_chunks,
+       least(length(text), 1000)::BIGINT AS first_chunk_len
+FROM documents
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.functions.text import chunk_text
+
+    d = _docs(spark, sf_dir)
+    chunks = chunk_text(F.col("text"), 1000, 100)
+    return d.select(
+        "doc_id",
+        F.size(chunks).cast("long").alias("n_chunks"),
+        F.length(F.element_at(chunks, 1)).cast("long").alias("first_chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; driver records row counts)
+# ---------------------------------------------------------------------------
+@_register("minhash_dedup")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@_register("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+@_register("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.ann import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, k=5)
+
+
+@_register("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.clustering import (
+        cluster_documents,
+        cluster_summaries,
+    )
+    from pdf_knowledge_extractor_spark.operators.tfidf import to_ml_vectors
+
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text")).persist()
+    vectors = to_ml_vectors(t, vocab_size=1 << 12)
+    assignments, _, _ = cluster_documents(vectors, k=5)
+    return cluster_summaries(assignments, t)
+
+
+@_register("connected_components")
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"))
+    pairs = exact_cosine_pairs(t, threshold=0.8)
+    edges = pairs.select(
+        F.col("doc1_id").cast("string").alias("src"),
+        F.col("doc2_id").cast("string").alias("dst"),
+    )
+    return connected_components(edges)
+
+
+@_register("kg_pipeline_triples")
+def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    d = _docs(spark, sf_dir)
+    res = run_pipeline(
+        spark, d, PipelineConfig(similarity_strategy="exact")
+    )
+    return res["triples"]

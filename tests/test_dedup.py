@@ -1,0 +1,84 @@
+"""Deduplication operators: exact groups, MinHash-LSH recall vs exact
+Jaccard, SimHash near-dup detection."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf_knowledge_extractor_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+def test_exact_duplicates_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "Hello   world"),
+            ("b", "hello world"),      # same after normalization
+            ("c", " HELLO\tWORLD "),   # same after normalization
+            ("d", "something else"),
+        ],
+        "doc_id string, content string",
+    )
+    res = exact_duplicates(df, "doc_id", "content").persist()
+    rows = {r["doc_id"]: r for r in res.collect()}
+    assert rows["a"]["group_size"] == 3
+    assert rows["a"]["canonical_id"] == "a"
+    assert not rows["a"]["is_duplicate"]
+    assert rows["b"]["is_duplicate"] and rows["b"]["canonical_id"] == "a"
+    assert rows["c"]["is_duplicate"]
+    assert rows["d"]["group_size"] == 1 and not rows["d"]["is_duplicate"]
+
+
+def test_exact_duplicates_no_false_positives(spark, small_corpus):
+    res = exact_duplicates(small_corpus, "doc_id", "content")
+    # every non-empty content row is unique in the generated corpus
+    dups = res.filter(F.col("is_duplicate")).count()
+    empties = small_corpus.filter(F.length("content") == 0).count()
+    assert dups <= max(empties - 1, 0) + small_corpus.filter(
+        F.col("content").startswith("!!!")
+    ).count()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, small_corpus):
+    exact = {
+        (r["doc1_id"], r["doc2_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            small_corpus, threshold=0.5, n=3, id_col="doc_id",
+            text_col="content", max_df=None,
+        ).collect()
+    }
+    assert exact, "corpus must contain near-dup bodies (id %% 23 == 1)"
+    got = {
+        (r["doc1_id"], r["doc2_id"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            small_corpus, threshold=0.5, id_col="doc_id", text_col="content"
+        ).collect()
+    }
+    # precision exact (candidates verified with true Jaccard)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall}"
+
+
+def test_simhash_finds_near_dups(spark, small_corpus):
+    pairs = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in simhash_near_dup_pairs(
+            small_corpus, max_hamming=10, id_col="doc_id", text_col="content"
+        ).collect()
+    }
+    exact = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in ngram_jaccard_pairs(
+            small_corpus, threshold=0.8, n=3, id_col="doc_id",
+            text_col="content", max_df=None,
+        ).collect()
+    }
+    assert exact
+    found = len(pairs & exact) / len(exact)
+    assert found >= 0.9, f"simhash found only {found:.2f} of strong near-dups"
