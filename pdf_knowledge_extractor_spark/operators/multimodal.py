@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side mechanics are real and tested — schema, partition-safe
+Arrow batching via mapInPandas, deterministic fake features — while
+the actual media decode is STUBBED (image/audio libraries are not in
+this container): ``decode_image_stub`` raises NotImplementedError when
+``strict=True`` and otherwise produces a deterministic fake decode
+derived from the bytes, so the pipeline shape (UDF signatures, batch
+iteration, output schema) is exercised end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_frames int, features array<float>"
+)
+
+
+def decode_image_stub(data: bytes, strict: bool = False):
+    """STUB: real decode needs PIL/ffmpeg (not in this container).
+    strict=True raises; otherwise returns deterministic fake
+    (width, height, frames) derived from the content hash so tests are
+    reproducible."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg; not available in this "
+            "environment — deterministic fake used instead"
+        )
+    h = hashlib.sha256(data or b"").digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30
+
+
+def extract_media_features(
+    media: DataFrame, feature_dim: int = 8, strict: bool = False
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns:
+    Arrow-batched, per-partition iterator (never per-row Python calls
+    across the JVM boundary). Features here are a deterministic
+    byte-hash embedding (stub for a real CNN/fbank extractor)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            out["kind"] = pdf["kind"]
+            data = pdf["data"].map(lambda b: bytes(b) if b is not None else b"")
+            out["n_bytes"] = data.map(len).astype("int64")
+            out["sha256"] = data.map(lambda b: hashlib.sha256(b).hexdigest())
+            dims = data.map(lambda b: decode_image_stub(b, strict=strict))
+            out["width"] = dims.map(lambda d: d[0]).astype("int32")
+            out["height"] = dims.map(lambda d: d[1]).astype("int32")
+            out["n_frames"] = dims.map(lambda d: d[2]).astype("int32")
+
+            def feat(b: bytes):
+                h = hashlib.sha256(b + b"feat").digest()
+                return [
+                    (h[i] / 255.0) * 2.0 - 1.0 for i in range(feature_dim)
+                ]
+
+            out["features"] = data.map(feat)
+            yield out
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (decode stubbed — indexes computed from stub n_frames).
+    Demonstrates the explode-based fan-out that a real sampler uses."""
+    feats = extract_media_features(media)
+    return feats.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_index"),
+    )
+
+
+def synthetic_media(spark, n: int = 50) -> DataFrame:
+    """Deterministic fake media table for tests (binary payload from
+    seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
+        rows.append(
+            (
+                f"m{i:04d}",
+                kind,
+                {"image": "image/png", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+                bytearray(payload),
+                {"source": f"s{i % 5}"},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

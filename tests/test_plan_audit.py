@@ -1,0 +1,64 @@
+"""Physical-plan audits (north rule: no per-row Python in the hot
+path; filters reach the parquet scan).
+
+- No BatchEvalPython (row-at-a-time Python UDF) anywhere in the
+  pipeline plan; Python appears only as ArrowEvalPython / MapInPandas
+  (vectorized) for the code-entity detector and media stubs.
+- Predicate pushdown: a filtered scan of the documents table shows
+  PushedFilters at the FileScan.
+- Broadcast: the small-dimension join picks BroadcastHashJoin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf_knowledge_extractor_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_row_python_in_pipeline(spark, small_corpus):
+    res = run_pipeline(
+        spark, small_corpus, PipelineConfig(similarity_strategy="prefix"),
+        id_col="doc_id", text_col="content", lang_col="lang",
+    )
+    for name in ("documents", "mentions", "concepts", "similarities",
+                 "triples"):
+        plan = _plan(res[name])
+        assert "BatchEvalPython" not in plan, (
+            f"row-at-a-time Python UDF in {name} plan"
+        )
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") > 100)
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    # column pruning: text column must not be read
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
