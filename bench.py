@@ -74,7 +74,7 @@ def main() -> None:
     # flagship: full KG pipeline over the synthetic code corpus
     t0 = time.perf_counter()
     corpus = generate_corpus(spark, corpus_rows)
-    cfg = PipelineConfig(similarity_strategy="prefix")
+    cfg = PipelineConfig(similarity_strategy="minhash")
     res = run_pipeline(
         spark, corpus, cfg, id_col="doc_id", text_col="content",
         lang_col="lang",

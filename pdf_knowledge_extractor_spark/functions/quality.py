@@ -42,21 +42,29 @@ STRUCTURE_PATTERNS = (
 )
 
 
-def text_quality_metric(text: Column) -> Column:
-    """Banded alphanumeric-ratio score (0.1/0.4/0.7/1.0)."""
-    r = alnum_ratio(text)
+def split_words(text: Column) -> Column:
+    """Whitespace word array, empties dropped (computed once and
+    shared when performance matters)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def band_text_quality(ar: Column) -> Column:
     return (
-        F.when((r >= 0.6) & (r <= 0.9), 1.0)
-        .when((r >= 0.4) & (r < 0.6), 0.7)
-        .when((r >= 0.2) & (r < 0.4), 0.4)
+        F.when((ar >= 0.6) & (ar <= 0.9), 1.0)
+        .when((ar >= 0.4) & (ar < 0.6), 0.7)
+        .when((ar >= 0.2) & (ar < 0.4), 0.4)
         .otherwise(0.1)
     )
 
 
-def extraction_ratio_metric(text: Column, page_count: Column) -> Column:
-    """Banded chars-vs-expected(2500/page) score."""
+def text_quality_metric(text: Column) -> Column:
+    """Banded alphanumeric-ratio score (0.1/0.4/0.7/1.0)."""
+    return band_text_quality(alnum_ratio(text))
+
+
+def band_extraction_ratio(n_chars: Column, page_count: Column) -> Column:
     expected = page_count * F.lit(EXPECTED_CHARS_PER_PAGE)
-    ratio = F.least(F.length(text) / expected, F.lit(2.0))
+    ratio = F.least(n_chars / expected, F.lit(2.0))
     return F.when(
         expected > 0,
         F.when(ratio >= 0.8, 1.0)
@@ -66,13 +74,14 @@ def extraction_ratio_metric(text: Column, page_count: Column) -> Column:
     ).otherwise(0.0)
 
 
-def content_density_metric(text: Column) -> Column:
-    """Banded average-word-length score (4-8 chars ideal)."""
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+def extraction_ratio_metric(text: Column, page_count: Column) -> Column:
+    """Banded chars-vs-expected(2500/page) score."""
+    return band_extraction_ratio(F.length(text), page_count)
+
+
+def band_content_density(words: Column) -> Column:
     n = F.size(words)
-    total_len = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
+    total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     avg = total_len / n
     return F.when(
         n > 0,
@@ -82,11 +91,16 @@ def content_density_metric(text: Column) -> Column:
     ).otherwise(0.0)
 
 
-def language_quality_metric(text: Column) -> Column:
-    """Banded unique-word-ratio score; short texts (<=50 words) get 0.8."""
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
-    n = F.size(words)
-    r = unique_word_ratio(text)
+def content_density_metric(text: Column) -> Column:
+    """Banded average-word-length score (4-8 chars ideal)."""
+    return band_content_density(split_words(text))
+
+
+def band_language_quality(words_lower: Column) -> Column:
+    n = F.size(words_lower)
+    r = F.when(
+        n > 0, F.size(F.array_distinct(words_lower)) / n
+    ).otherwise(F.lit(0.0))
     return F.when(
         n > 50,
         F.when(r >= 0.4, 1.0)
@@ -94,6 +108,11 @@ def language_quality_metric(text: Column) -> Column:
         .when(r >= 0.1, 0.3)
         .otherwise(0.1),
     ).otherwise(0.8)
+
+
+def language_quality_metric(text: Column) -> Column:
+    """Banded unique-word-ratio score; short texts (<=50 words) get 0.8."""
+    return band_language_quality(split_words(F.lower(text)))
 
 
 def structure_quality_metric(text: Column) -> Column:

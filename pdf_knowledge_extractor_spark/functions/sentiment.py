@@ -13,10 +13,15 @@ from pyspark.sql import functions as F
 from pdf_knowledge_extractor_spark.lexicons import NEGATIVE_WORDS, POSITIVE_WORDS
 
 
-def _hit_count(text: Column, lexicon: tuple[str, ...]) -> Column:
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+def hit_count_words(words_lower: Column, lexicon: tuple[str, ...]) -> Column:
+    """Count of array elements present in the lexicon (words already
+    lowered; precompute the array once when performance matters)."""
     lex = F.array(*[F.lit(w) for w in lexicon])
-    return F.size(F.filter(words, lambda w: F.array_contains(lex, w)))
+    return F.size(F.filter(words_lower, lambda w: F.array_contains(lex, w)))
+
+
+def _hit_count(text: Column, lexicon: tuple[str, ...]) -> Column:
+    return hit_count_words(F.split(F.lower(F.trim(text)), r"\s+"), lexicon)
 
 
 def sentiment_struct(text: Column) -> Column:

@@ -30,6 +30,7 @@ def related_documents(
     min_shared: int = 3,
     top_k: int = 10,
     max_df_fraction: float | None = 0.5,
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """doc_keywords(doc_id, text) posting list -> directed related pairs
     (doc_id, related_doc_id, shared_kw_count, rank<=top_k).
@@ -41,17 +42,25 @@ def related_documents(
     and the vectorizer max_df at semantic_analyzer.py:288): a keyword
     shared by most documents carries no relatedness signal."""
     posts = doc_keywords.select("doc_id", F.col("text").alias("keyword"))
-    if max_df_fraction is not None:
+    if max_df_fraction is not None or max_df_abs is not None:
         n_docs = posts.select(
             F.countDistinct("doc_id").alias("_n")
         )
-        hot = (
+        dfs = (
             posts.groupBy("keyword")
             .agg(F.countDistinct("doc_id").alias("_df"))
             .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("_df") > F.col("_n") * max_df_fraction)
-            .select("keyword")
         )
+        cond = F.lit(False)
+        if max_df_fraction is not None:
+            cond = cond | (F.col("_df") > F.col("_n") * max_df_fraction)
+        if max_df_abs is not None:
+            # hard cap: the posting self-join costs Σ df², so one
+            # keyword with df=d contributes d² pairs regardless of
+            # corpus size; d must be bounded by an absolute constant
+            # for the join to stay near-linear at 10^12 files
+            cond = cond | (F.col("_df") > max_df_abs)
+        hot = dfs.filter(cond).select("keyword")
         posts = posts.join(F.broadcast(hot), "keyword", "left_anti")
     a = posts.select(F.col("doc_id").alias("doc_id"), "keyword")
     b = posts.select(F.col("doc_id").alias("related_doc_id"), "keyword")

@@ -112,19 +112,45 @@ def lsh_cosine_pairs(
         return cand.filter(F.col("_approx") >= threshold).select(
             "doc1_id", "doc2_id", F.col("_approx").alias("similarity_score")
         )
-    a = tfidf.select(
-        F.col("doc_id").alias("doc1_id"), "term", F.col("weight").alias("w1")
+    return _rescore_candidates(
+        cand.select("doc1_id", "doc2_id"), tfidf, threshold
     )
-    b = tfidf.select(
-        F.col("doc_id").alias("doc2_id"), "term", F.col("weight").alias("w2")
+
+
+def _doc_vectors(tfidf: DataFrame) -> DataFrame:
+    """(doc_id, m: map<term,weight>) — compact per-doc vector for
+    map-side rescoring."""
+    return tfidf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "weight"))).alias("m")
+    )
+
+
+def _rescore_candidates(
+    candidates: DataFrame, tfidf: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact dot product for candidate pairs via map-side lookups:
+    join the two compact doc vectors onto each candidate row (the
+    vector table broadcasts when small; co-partitions on doc_id
+    otherwise), then aggregate over the smaller map's entries —
+    O(candidates * avg_terms) with no exploded shuffle, versus the
+    naive candidate x term join that materializes |cand| * |terms|
+    rows."""
+    vec = _doc_vectors(tfidf)
+    v1 = vec.select(F.col("doc_id").alias("doc1_id"), F.col("m").alias("m1"))
+    v2 = vec.select(F.col("doc_id").alias("doc2_id"), F.col("m").alias("m2"))
+    dot = F.aggregate(
+        F.map_entries("m1"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.coalesce(F.element_at(F.col("m2"), e["key"]), F.lit(0.0))
+        * e["value"],
     )
     return (
-        cand.select("doc1_id", "doc2_id")
-        .join(a, "doc1_id")
-        .join(b, ["doc2_id", "term"])
-        .groupBy("doc1_id", "doc2_id")
-        .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
+        candidates.join(v1, "doc1_id")
+        .join(v2, "doc2_id")
+        .withColumn("similarity_score", dot)
         .filter(F.col("similarity_score") >= threshold)
+        .select("doc1_id", "doc2_id", "similarity_score")
     )
 
 
@@ -176,19 +202,71 @@ def prefix_cosine_pairs(
         .select("doc1_id", "doc2_id")
         .distinct()
     )
-    a = tfidf.select(
-        F.col("doc_id").alias("doc1_id"), "term", F.col("weight").alias("w1")
+    return _rescore_candidates(candidates, tfidf, threshold)
+
+
+def minhash_blocked_cosine_pairs(
+    tfidf: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    num_hashes: int = 60,
+    bands: int = 12,
+) -> DataFrame:
+    """Scale path for the θ self-join: MinHash-Jaccard banding over
+    each doc's TERM SET as the candidate blocker, exact cosine rescore
+    (map-side dot product) as the scorer.
+
+    Why this beats prefix filtering / cosine-LSH at 100 TB: the
+    banding collision curve 1-(1-j^r)^b is far sharper in Jaccard than
+    any hyperplane scheme is in cosine — r=5, b=12 gives ~1e-5
+    collision probability for unrelated pairs (j≈0.1) and >=0.99 for
+    near-duplicates (j>=0.85), so the candidate set stays near-linear
+    where the exact prefix join went quadratic (658M candidates at
+    100k docs on flat-weight content). Recall at the cosine threshold
+    is approximate and data-dependent (pairs with cosine>=0.7 but low
+    term-set Jaccard can be missed); tests validate recall >= 0.95 on
+    the near-duplicate-structured corpus. Precision is exact (every
+    emitted score is the true cosine).
+    """
+    rows_per_band = num_hashes // bands
+    # one groupBy(doc) to gather the term set; signatures and band
+    # hashes computed as array expressions (no K-fold explode shuffle —
+    # the 60x row blowup was the dominant allocation/shuffle cost)
+    term_sets = tfidf.groupBy("doc_id").agg(
+        F.collect_list("term").alias("_terms")
     )
-    b = tfidf.select(
-        F.col("doc_id").alias("doc2_id"), "term", F.col("weight").alias("w2")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("_terms"), lambda t: F.xxhash64(t, k))
+        ),
     )
-    return (
-        candidates.join(a, "doc1_id")
-        .join(b, ["doc2_id", "term"])
-        .groupBy("doc1_id", "doc2_id")
-        .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
-        .filter(F.col("similarity_score") >= threshold)
+    with_sig = term_sets.select("doc_id", sig.alias("sig"))
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
     )
+    banded = (
+        with_sig.select("doc_id", F.posexplode(band_hashes))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+    )
+    b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
+    b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
+    candidates = (
+        b1.join(b2, ["band", "band_hash"])
+        .filter(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+    return _rescore_candidates(candidates, tfidf, threshold)
 
 
 def with_similarity_metadata(pairs: DataFrame) -> DataFrame:

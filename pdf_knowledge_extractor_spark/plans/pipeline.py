@@ -48,6 +48,7 @@ from pdf_knowledge_extractor_spark.operators.related import (
 from pdf_knowledge_extractor_spark.operators.similarity import (
     exact_cosine_pairs,
     lsh_cosine_pairs,
+    minhash_blocked_cosine_pairs,
     prefix_cosine_pairs,
     with_similarity_metadata,
 )
@@ -69,14 +70,18 @@ class PipelineConfig:
     num_similar: int = 5
     min_shared_keywords: int = 3
     related_top_k: int = 10
+    related_max_df: int = 500       # posting-list hard cap (join is Σ df²)
     per_doc_keywords: int = 20
     # similarity-join physical strategy:
-    #  "exact"  — full term self-join (small corpora / oracle parity)
-    #  "prefix" — prefix-filtered exact join (default scale path,
-    #             Bayardo WWW'07: exact results, Σ prefix_df² cost)
-    #  "lsh"    — BucketedRandomProjection blocking + exact rescore
-    #             (approximate recall, tunable)
-    similarity_strategy: str = "prefix"
+    #  "exact"   — full term self-join (small corpora / oracle parity)
+    #  "prefix"  — prefix-filtered exact join (Bayardo WWW'07: exact
+    #              results, Σ prefix_df² cost — quadratic on
+    #              flat-weight content)
+    #  "minhash" — MinHash-Jaccard banding blocker + exact cosine
+    #              rescore (default scale path: near-linear candidates,
+    #              recall approximate but >= 0.95 on near-dup corpora)
+    #  "lsh"     — BucketedRandomProjection blocking + exact rescore
+    similarity_strategy: str = "minhash"
     lsh_hash_tables: int = 4
     lsh_dims: int = 1 << 12         # hashed term space for blocking only
                                     # (rescoring is exact; raise to 2^16+
@@ -92,7 +97,39 @@ def enrich_documents(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      page_count_col: str | None = None) -> DataFrame:
     """Narrow per-doc projections: counts, quality, sentiment, type,
-    sha256 invariant."""
+    sha256 invariant.
+
+    Performance note: the metric expressions share costly subtrees
+    (word arrays, lexicon scans) that use higher-order functions —
+    which whole-stage codegen cannot compile, so Spark evaluates the
+    projection interpreted and WITHOUT common-subexpression
+    elimination. A single collapsed projection re-evaluates the shared
+    subtrees dozens of times (measured 101s vs 12s for 100k rows). We
+    therefore materialize the shared intermediates once behind a
+    single-element explode (a Generate node, which CollapseProject
+    cannot merge across) and compute the metrics from the generated
+    columns.
+    """
+    from pdf_knowledge_extractor_spark.functions.doctype import _category_hits
+    from pdf_knowledge_extractor_spark.functions.quality import (
+        QUALITY_WEIGHTS,
+        band_content_density,
+        band_extraction_ratio,
+        band_language_quality,
+        band_text_quality,
+        split_words,
+        structure_quality_metric,
+    )
+    from pdf_knowledge_extractor_spark.functions.sentiment import (
+        hit_count_words,
+    )
+    from pdf_knowledge_extractor_spark.lexicons import (
+        DOC_TYPE_LEXICONS,
+        DOC_TYPE_ORDER,
+        NEGATIVE_WORDS,
+        POSITIVE_WORDS,
+    )
+
     text = F.col(text_col)
     pages = (
         F.col(page_count_col)
@@ -101,14 +138,108 @@ def enrich_documents(docs: DataFrame, id_col: str = "doc_id",
             (F.length(text) / 2500.0).cast("int") + 1, F.lit(1)
         )
     )
-    return docs.select(
+    # barrier 1: shared string intermediates, each computed once per
+    # row (interpreted eval has no common-subexpression elimination,
+    # and HOF lambdas would otherwise recompute lower()/split() per
+    # array element)
+    pre = docs.select(
         "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lower(text).alias("tl"),
+                    split_words(F.lower(text)).alias("words"),
+                    F.length(
+                        F.regexp_replace(text, "[^a-zA-Z0-9]", "")
+                    ).alias("alnum"),
+                )
+            )
+        ).alias("_pre"),
+    )
+    tl = F.col("_pre.tl")
+    words = F.col("_pre.words")
+    n = F.length(text)
+    blank = F.length(F.trim(text)) == 0
+    ar = F.when(n > 0, F.col("_pre.alnum") / n).otherwise(F.lit(0.0))
+    # barrier 2: banded metrics + lexicon counts over the cheap
+    # intermediates
+    raw = F.struct(
+        F.when(blank, 0.0).otherwise(band_text_quality(ar)).alias("tq"),
+        F.when(blank, 0.0)
+        .otherwise(band_extraction_ratio(n, pages))
+        .alias("er"),
+        F.when(blank, 0.0).otherwise(band_content_density(words)).alias("cd"),
+        F.when(blank, 0.0)
+        .otherwise(band_language_quality(words))
+        .alias("lq"),
+        F.when(blank, 0.0)
+        .otherwise(structure_quality_metric(text))
+        .alias("sq"),
+        hit_count_words(words, POSITIVE_WORDS).alias("pos"),
+        hit_count_words(words, NEGATIVE_WORDS).alias("neg"),
+        *[
+            _category_hits(tl, DOC_TYPE_LEXICONS[cat]).alias(f"tc_{cat}")
+            for cat in DOC_TYPE_ORDER
+        ],
+    )
+    base = pre.select(
+        *[c for c in docs.columns],
         sha256(text).alias("content_sha256"),
-        word_count(text).alias("word_count"),
+        F.size(words).cast("int").alias("word_count"),
         char_count(text).alias("char_count"),
-        quality_struct(text, pages).alias("quality"),
-        sentiment_struct(text).alias("sentiment"),
-        doc_type(text).alias("document_type"),
+        F.explode(F.array(raw)).alias("_m"),
+    )
+    m = F.col("_m")
+    overall = (
+        m["tq"] * QUALITY_WEIGHTS["text_quality"]
+        + m["er"] * QUALITY_WEIGHTS["extraction_ratio"]
+        + m["cd"] * QUALITY_WEIGHTS["content_density"]
+        + m["lq"] * QUALITY_WEIGHTS["language_quality"]
+        + m["sq"] * QUALITY_WEIGHTS["structure_quality"]
+    )
+    pos, neg = m["pos"], m["neg"]
+    total = pos + neg
+    sentiment = F.struct(
+        F.when(total == 0, "neutral")
+        .when(pos > neg, "positive")
+        .when(neg > pos, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+        F.when(total == 0, F.lit(0.0))
+        .when(pos > neg, pos / total)
+        .when(neg > pos, neg / total)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("score"),
+        pos.alias("positive_indicators"),
+        neg.alias("negative_indicators"),
+    )
+    counts = {cat: m[f"tc_{cat}"] for cat in DOC_TYPE_ORDER}
+    best = F.greatest(*counts.values())
+    pick = None
+    for cat in reversed(DOC_TYPE_ORDER):
+        cond = F.when(counts[cat] == best, F.lit(cat))
+        pick = cond.otherwise(pick) if pick is not None else cond
+    document_type = (
+        F.when(F.length(F.coalesce(text, F.lit(""))) == 0, "unknown")
+        .when(best == 0, "general")
+        .otherwise(pick)
+    )
+    return base.select(
+        *[c for c in docs.columns],
+        "content_sha256",
+        "word_count",
+        "char_count",
+        F.struct(
+            m["tq"].alias("text_quality"),
+            m["er"].alias("extraction_ratio"),
+            m["cd"].alias("content_density"),
+            m["lq"].alias("language_quality"),
+            m["sq"].alias("structure_quality"),
+            overall.alias("overall_score"),
+        ).alias("quality"),
+        sentiment.alias("sentiment"),
+        document_type.alias("document_type"),
     )
 
 
@@ -161,6 +292,10 @@ def run_pipeline(
         )
     elif cfg.similarity_strategy == "prefix":
         pairs = prefix_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
+    elif cfg.similarity_strategy == "minhash":
+        pairs = minhash_blocked_cosine_pairs(
+            tfidf, threshold=cfg.similarity_threshold
+        )
     else:
         pairs = exact_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     similarities = with_similarity_metadata(pairs).persist()
@@ -179,6 +314,7 @@ def run_pipeline(
         doc_kw,
         min_shared=cfg.min_shared_keywords,
         top_k=cfg.related_top_k,
+        max_df_abs=cfg.related_max_df,
     )
 
     nodes, edges = build_graph(enriched, concepts, similarities, id_col=id_col)

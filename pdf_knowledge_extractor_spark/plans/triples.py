@@ -58,69 +58,81 @@ def document_property_triples(enriched_docs: DataFrame,
     """enriched docs with word_count/char_count/sentiment/doc_type ->
     one triple per property (K5 document block,
     exporters/data_analysis.py:1117-1137)."""
+    # single scan: build an array of (pred, obj, weight) structs and
+    # explode — one stage instead of five unioned scans
     d = enriched_docs
     subj = F.col(id_col).cast("string")
-    props = [
-        ("pdf:wordCount", F.col("word_count").cast("string"), F.lit(None)),
-        ("pdf:characterCount", F.col("char_count").cast("string"), F.lit(None)),
-        ("pdf:sentimentScore",
-         F.col("sentiment.score").cast("string"),
-         F.col("sentiment.score").cast("double")),
-        ("pdf:sentimentLabel", F.col("sentiment.sentiment"), F.lit(None)),
-        ("pdf:documentType", F.col("document_type"), F.lit(None)),
-    ]
-    parts = [
-        d.select(
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
-            obj.alias("obj"),
-            F.coalesce(w, F.lit(1.0)).cast("double").alias("weight"),
-            F.lit("doc_props").alias("prov"),
-        )
-        for pred, obj, w in props
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    entries = F.array(
+        F.struct(
+            F.lit("pdf:wordCount").alias("pred"),
+            F.col("word_count").cast("string").alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
+        F.struct(
+            F.lit("pdf:characterCount").alias("pred"),
+            F.col("char_count").cast("string").alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
+        F.struct(
+            F.lit("pdf:sentimentScore").alias("pred"),
+            F.col("sentiment.score").cast("string").alias("obj"),
+            F.col("sentiment.score").cast("double").alias("weight"),
+        ),
+        F.struct(
+            F.lit("pdf:sentimentLabel").alias("pred"),
+            F.col("sentiment.sentiment").alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
+        F.struct(
+            F.lit("pdf:documentType").alias("pred"),
+            F.col("document_type").alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    out = d.select(subj.alias("subj"), F.explode(entries).alias("e")).select(
+        "subj",
+        F.col("e.pred").alias("pred"),
+        F.col("e.obj").alias("obj"),
+        F.coalesce(F.col("e.weight"), F.lit(1.0)).alias("weight"),
+        F.lit("doc_props").alias("prov"),
+    )
     return _shape(out)
 
 
 def concept_property_triples(concepts: DataFrame) -> DataFrame:
     """K5 concept block (exporters/data_analysis.py:1149-1164)."""
     c = concepts.withColumn("_id", concept_id(F.col("text")))
-    parts = [
-        c.select(
-            F.col("_id").alias("subj"),
+    entries = F.array(
+        F.struct(
             F.lit("skos:prefLabel").alias("pred"),
             F.col("text").alias("obj"),
             F.lit(1.0).alias("weight"),
-            F.lit("concept_props").alias("prov"),
         ),
-        c.select(
-            F.col("_id").alias("subj"),
+        F.struct(
             F.lit("pdf:conceptType").alias("pred"),
             F.col("concept_type").alias("obj"),
             F.lit(1.0).alias("weight"),
-            F.lit("concept_props").alias("prov"),
         ),
-        c.select(
-            F.col("_id").alias("subj"),
+        F.struct(
             F.lit("pdf:importanceScore").alias("pred"),
             F.col("importance").cast("string").alias("obj"),
             F.col("importance").cast("double").alias("weight"),
-            F.lit("concept_props").alias("prov"),
         ),
-        c.select(
-            F.col("_id").alias("subj"),
+        F.struct(
             F.lit("pdf:frequency").alias("pred"),
             F.col("frequency").cast("string").alias("obj"),
             F.col("frequency").cast("double").alias("weight"),
-            F.lit("concept_props").alias("prov"),
         ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
+    out = c.select(
+        F.col("_id").alias("subj"), F.explode(entries).alias("e")
+    ).select(
+        "subj",
+        F.col("e.pred").alias("pred"),
+        F.col("e.obj").alias("obj"),
+        F.col("e.weight").alias("weight"),
+        F.lit("concept_props").alias("prov"),
+    )
     return _shape(out)
 
 
