@@ -13,7 +13,6 @@ rows-only queries (no oracle entry).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,10 +28,8 @@ from pdf_knowledge_extractor_spark.functions.sentiment import sentiment_struct
 from pdf_knowledge_extractor_spark.functions.text import (
     bpe_ish_token_count,
     char_count,
-    clean_text,
     estimate_tokens,
     fingerprint,
-    sha256,
     word_count,
 )
 from pdf_knowledge_extractor_spark.lexicons import (
@@ -111,7 +108,7 @@ tf AS (
     SELECT doc_id, word AS term, count(*)::BIGINT AS tf
     FROM kw GROUP BY doc_id, word
 ),
-ndocs AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
 dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
 weighted AS (
     SELECT tf.doc_id, tf.term, tf.tf, dft.df,
@@ -471,7 +468,7 @@ SELECT doc_id, term, round(weight, 4) AS weight, rank::INT AS rank FROM (
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     km = keyword_mentions(d)
-    t = tfidf_longform(km.select("doc_id", "text"))
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
     return per_doc_top_terms(t, k=20).select(
         "doc_id",
         "term",
@@ -499,7 +496,7 @@ def q_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different summation orders cannot flip borderline pairs vs oracle
     d = _docs(spark, sf_dir)
     km = keyword_mentions(d)
-    t = tfidf_longform(km.select("doc_id", "text"))
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
     return (
         exact_cosine_pairs(t, threshold=0.0)
         .filter(F.round("similarity_score", 6) >= 0.7)
@@ -1085,7 +1082,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     km = keyword_mentions(d)
-    t = tfidf_longform(km.select("doc_id", "text")).persist()
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count()).persist()
     vectors = to_ml_vectors(t, vocab_size=1 << 12)
     assignments, _, _ = cluster_documents(vectors, k=5)
     return cluster_summaries(assignments, t)
@@ -1099,7 +1096,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     km = keyword_mentions(d)
-    t = tfidf_longform(km.select("doc_id", "text"))
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
     pairs = exact_cosine_pairs(t, threshold=0.8)
     edges = pairs.select(
         F.col("doc1_id").cast("string").alias("src"),
@@ -1120,3 +1117,214 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d, PipelineConfig(similarity_strategy="exact")
     )
     return res["triples"]
+
+# ---------------------------------------------------------------------------
+# q29 — size-limit routing (F1): processable vs special_handling
+# ---------------------------------------------------------------------------
+@_register(
+    "size_routing",
+    """
+WITH tagged AS (
+    SELECT doc_id,
+           CASE WHEN n_chars > 400 THEN 'special_handling'
+                WHEN n_chars = 0 THEN 'empty'
+                ELSE 'processable' END AS route
+    FROM documents
+)
+SELECT route, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM tagged GROUP BY route
+""",
+)
+def q_size_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    route = (
+        F.when(F.col("n_chars") > 400, "special_handling")
+        .when(F.col("n_chars") == 0, "empty")
+        .otherwise("processable")
+    )
+    return (
+        d.select("doc_id", route.alias("route"))
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — quality-band distribution (A7)
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_distribution",
+    _SQL_QUALITY.replace(
+        """SELECT doc_id,
+       round(CASE WHEN blank THEN 0.0 ELSE text_quality END, 4) AS text_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE extraction_ratio END, 4) AS extraction_ratio,
+       round(CASE WHEN blank THEN 0.0 ELSE content_density END, 4) AS content_density,
+       round(CASE WHEN blank THEN 0.0 ELSE language_quality END, 4) AS language_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE structure_quality END, 4) AS structure_quality,
+       round(CASE WHEN blank THEN 0.0 ELSE
+             text_quality * 0.40 + extraction_ratio * 0.25
+           + content_density * 0.15 + language_quality * 0.10
+           + structure_quality * 0.10 END, 4) AS overall_score
+FROM m""",
+        """, scored AS (
+    SELECT CASE WHEN blank THEN 0.0 ELSE
+             text_quality * 0.40 + extraction_ratio * 0.25
+           + content_density * 0.15 + language_quality * 0.10
+           + structure_quality * 0.10 END AS score
+    FROM m
+)
+SELECT CASE WHEN score >= 0.8 THEN 'excellent'
+            WHEN score >= 0.6 THEN 'good'
+            WHEN score >= 0.4 THEN 'fair'
+            WHEN score >= 0.2 THEN 'poor'
+            ELSE 'very_poor' END AS band,
+       count(*)::BIGINT AS n_docs
+FROM scored GROUP BY 1""",
+    ),
+)
+def q_quality_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pages = (F.floor(F.length("text") / 2500.0) + 1).cast("long")
+    q = quality_struct(F.col("text"), pages)
+    score = q["overall_score"]
+    band = (
+        F.when(score >= 0.8, "excellent")
+        .when(score >= 0.6, "good")
+        .when(score >= 0.4, "fair")
+        .when(score >= 0.2, "poor")
+        .otherwise("very_poor")
+    )
+    return d.select(band.alias("band")).groupBy("band").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — top-5 similar docs per target (W2), symmetrized
+# ---------------------------------------------------------------------------
+@_register(
+    "top_similar_per_doc",
+    f"""
+WITH {_SQL_TFIDF.lstrip()},
+pairs AS (
+    SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
+           sum(a.weight * b.weight) AS s
+    FROM tfidf a JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.weight * b.weight), 6) >= 0.7
+),
+sym AS (
+    SELECT doc1_id AS doc_id, doc2_id AS other_id, s FROM pairs
+    UNION ALL
+    SELECT doc2_id AS doc_id, doc1_id AS other_id, s FROM pairs
+)
+SELECT doc_id, other_id, round(s, 4) AS similarity_score, rank::INT AS rank
+FROM (
+    SELECT doc_id, other_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(s, 9) DESC, other_id ASC) AS rank
+    FROM sym
+) WHERE rank <= 5
+""",
+)
+def q_top_similar_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
+    pairs = exact_cosine_pairs(t, threshold=0.0).filter(
+        F.round("similarity_score", 6) >= 0.7
+    )
+    sym = pairs.select(
+        F.col("doc1_id").alias("doc_id"),
+        F.col("doc2_id").alias("other_id"),
+        F.col("similarity_score").alias("s"),
+    ).unionByName(
+        pairs.select(
+            F.col("doc2_id").alias("doc_id"),
+            F.col("doc1_id").alias("other_id"),
+            F.col("similarity_score").alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("s", 9)), F.asc("other_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            "other_id",
+            F.round("s", 4).alias("similarity_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — anti-join (U2/U3): docs with no similar pair at 0.7
+# ---------------------------------------------------------------------------
+@_register(
+    "isolated_docs",
+    f"""
+WITH {_SQL_TFIDF.lstrip()},
+pairs AS (
+    SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+    FROM tfidf a JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.weight * b.weight), 6) >= 0.7
+),
+connected AS (
+    SELECT doc1_id AS doc_id FROM pairs
+    UNION SELECT doc2_id FROM pairs
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN connected c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+""",
+)
+def q_isolated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
+    pairs = exact_cosine_pairs(t, threshold=0.0).filter(
+        F.round("similarity_score", 6) >= 0.7
+    )
+    connected = (
+        pairs.select(F.col("doc1_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2_id").alias("doc_id")))
+        .distinct()
+    )
+    return d.select("doc_id").join(connected, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# q33 — pivot: events per type per weekday (A7 pivot analog)
+# ---------------------------------------------------------------------------
+@_register(
+    "events_pivot",
+    """
+SELECT (dayofweek(ts) + 1)::INT AS weekday,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+       count(*) FILTER (WHERE event_type NOT IN ('click','view','purchase'))::BIGINT AS other
+FROM events GROUP BY 1
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("weekday")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+        F.count(
+            F.when(~F.col("event_type").isin("click", "view", "purchase"), 1)
+        ).alias("other"),
+    )

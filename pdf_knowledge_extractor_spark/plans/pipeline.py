@@ -261,9 +261,16 @@ def run_pipeline(
     )
     kw_mentions = keyword_mentions(enriched, id_col, text_col)
 
+    # N = corpus size (cheap column-pruned count; passing the scalar
+    # avoids a broadcast subquery that would recompute the whole
+    # tokenize+tf chain before the cache exists)
+    n_docs = docs.count()
     tfidf = tfidf_longform(
-        kw_mentions.select("doc_id", F.col("text")), normalize=True
+        kw_mentions.select("doc_id", F.col("text")),
+        n_docs=n_docs,
+        normalize=True,
     ).persist()
+    tfidf.count()  # materialize: downstream broadcasts must hit cache
 
     if cfg.canonicalize:
         raw_concepts = aggregate_concepts(
@@ -274,6 +281,7 @@ def run_pipeline(
             min_frequency=cfg.min_concept_frequency,
             max_concepts=cfg.max_concepts,
         ).persist()
+        concepts.count()  # materialize before the broadcast θ-join reads it
     else:
         concepts = aggregate_concepts(
             mentions,

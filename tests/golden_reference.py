@@ -139,12 +139,13 @@ def golden_similarities(docs, threshold=0.7):
     L2 rows)."""
     import numpy as np
 
+    n = len(docs)  # N = corpus size (matches the reference vectorizer,
+    # which is fit on every document, tokenized-empty or not)
     tokens = {d: keyword_tokens(t) for d, t, _ in docs}
     tokens = {d: t for d, t in tokens.items() if t}
     vocab = sorted({w for ts in tokens.values() for w in ts})
     vidx = {w: i for i, w in enumerate(vocab)}
     ids = sorted(tokens)
-    n = len(ids)
     mat = np.zeros((n, len(vocab)))
     df = Counter()
     for d in ids:
@@ -152,7 +153,7 @@ def golden_similarities(docs, threshold=0.7):
             df[w] += 1
     for r, d in enumerate(ids):
         for w, tf in Counter(tokens[d]).items():
-            mat[r, vidx[w]] = (1.0 + math.log(tf)) * math.log(n / df[w])
+            mat[r, vidx[w]] = (1.0 + math.log(tf)) * math.log(n / df[w])  # noqa: E501
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     keep = norms[:, 0] > 0
     mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)

@@ -20,7 +20,9 @@ from tests.golden_reference import golden_similarities
 
 def _tfidf(small_corpus):
     km = keyword_mentions(small_corpus, "doc_id", "content")
-    return tfidf_longform(km.select("doc_id", "text")).persist()
+    return tfidf_longform(
+        km.select("doc_id", "text"), n_docs=small_corpus.count()
+    ).persist()
 
 
 def _pairs_dict(df):
