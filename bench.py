@@ -59,7 +59,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    corpus_rows = int(os.environ.get("PKE_BENCH_CORPUS_ROWS", str(int(200_000 * sf))))
+    corpus_rows = int(os.environ.get("PKE_BENCH_CORPUS_ROWS", str(int(500_000 * sf))))
 
     spark = get_spark("pke-bench", cpus=cpus)
     qs = entry_queries.get_queries()

@@ -58,10 +58,17 @@ def cluster_documents(
     best = None
     upper = min(k_max, max(k_min, n // 2))
     for kk in range(k_min, upper + 1):
-        preds, score = fit(kk)
+        try:
+            preds, score = fit(kk)
+        except Exception:  # noqa: BLE001 — k > distinct points etc.
+            continue
         if best is None or score > best[2]:
             best = (preds, kk, score)
     vectors.unpersist()
+    if best is None:
+        return (
+            vectors.select("doc_id", F.lit(0).alias("cluster_id")), 1, 0.0
+        )
     preds, kk, score = best
     return preds.select("doc_id", "cluster_id"), kk, score
 
