@@ -1328,3 +1328,11 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("event_type").isin("click", "view", "purchase"), 1)
         ).alias("other"),
     )
+
+
+@_register("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_knowledge_extractor_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, n_lists=16, n_probe=3)

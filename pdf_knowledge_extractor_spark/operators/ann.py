@@ -155,6 +155,82 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans partitions the corpus into ``n_lists``
+    inverted lists; each query probes its ``n_probe`` nearest
+    centroids and scores exactly within those lists only. The classic
+    coarse-quantizer trade: recall grows with n_probe, cost is
+    ~n_probe/n_lists of brute force. Spark-shaped: centroid assignment
+    is an ML transform; the probe set is a small broadcast join on
+    list id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                predictionCol="list_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vid", "vec", "list_id").persist()
+
+    # query -> its n_probe nearest centroids (centroids are tiny:
+    # compute distances via a literal array per centroid)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    centers_df = spark.createDataFrame(
+        centers, "list_id int, center array<double>"
+    )
+    q = assigned.select(F.col("vid").alias("query_id"),
+                        F.col("vec").alias("q_vec"))
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("sim", cosine_expr(F.col("q_vec"), F.col("center")))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("list_id")
+                )
+            ),
+        )
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_vec", "list_id")
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id", "q_vec",
+            F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec"),
+        )
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

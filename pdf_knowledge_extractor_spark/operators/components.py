@@ -79,6 +79,36 @@ def connected_components(
     return labels
 
 
+def cc_alias_canonical(
+    texts: DataFrame, text_col: str = "text", max_iterations: int = 10
+) -> DataFrame:
+    """Alias canonicalization THROUGH connected components (the north
+    rule's canonicalization stage): build a bipartite alias graph
+    text <-> norm-node (norm = lowercase, [-_.\\s] stripped), run
+    min-label propagation, then pick the lexicographically smallest
+    TEXT per component as canonical. Identical output to the
+    norm-groupBy for single-hop aliases, and additionally collapses
+    chained aliases (text A shares norm X with B, B shares norm Y with
+    C through a second rule) transitively.
+
+    Returns (text, canonical).
+    """
+    t = texts.select(F.col(text_col).alias("text")).distinct()
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", "")
+    edges = t.select(
+        F.col("text").alias("src"),
+        F.concat(F.lit(" norm:"), norm).alias("dst"),
+    )
+    labels = connected_components(edges, max_iterations=max_iterations)
+    text_labels = labels.join(t, labels["node"] == t["text"]).select(
+        "text", "component"
+    )
+    canon = text_labels.groupBy("component").agg(
+        F.min("text").alias("canonical")
+    )
+    return text_labels.join(canon, "component").select("text", "canonical")
+
+
 def canonicalize_aliases(
     concepts: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -84,6 +84,7 @@ def canonical_merge(
     concepts: DataFrame,
     min_frequency: int = 2,
     max_concepts: int | None = 100,
+    use_cc: bool = False,
 ) -> DataFrame:
     """Alias canonicalization (north-rule stage): collapse concept
     texts whose normalized form (lowercase, [-_.\\s] stripped) matches
@@ -96,11 +97,28 @@ def canonical_merge(
     Apply BEFORE the min-frequency / top-k cuts so alias variants pool
     their evidence.
     """
-    norm = F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", "")
-    with_norm = concepts.withColumn("_norm", norm)
-    w = Window.partitionBy("_norm", "concept_type")
+    if use_cc:
+        # run the alias collapse through connected components (the
+        # generic canonicalization machinery; collapses chained
+        # aliases transitively). Per concept_type to mirror the
+        # groupBy semantics.
+        from pdf_knowledge_extractor_spark.operators.components import (
+            cc_alias_canonical,
+        )
+
+        mapping = cc_alias_canonical(concepts.select("text"))
+        with_canon = concepts.join(mapping, "text")
+    else:
+        norm = F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", "")
+        w = Window.partitionBy(
+            F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", ""),
+            "concept_type",
+        )
+        with_canon = concepts.withColumn(
+            "canonical", F.min("text").over(w)
+        )
     merged = (
-        with_norm.withColumn("canonical", F.min("text").over(w))
+        with_canon
         .groupBy(F.col("canonical").alias("text"), "concept_type")
         .agg(
             F.sum("frequency").alias("frequency"),

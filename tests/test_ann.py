@@ -74,3 +74,21 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     assert pairs, "same-cluster vectors should exceed 0.9 cosine"
     for r in pairs:
         assert r["cosine"] >= 0.9
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    from pdf_knowledge_extractor_spark.operators.ann import ivf_topk
+
+    exact_top1 = {
+        (r["query_id"], r["nbr_id"])
+        for r in brute_force_topk(embeddings, k=3).collect()
+        if r["rank"] == 1
+    }
+    ivf = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivf_topk(embeddings, k=3, n_lists=8, n_probe=2).collect()
+    }
+    recall = len(exact_top1 & ivf) / len(exact_top1)
+    # clustered data: the true nearest neighbor lives in the same or an
+    # adjacent IVF list virtually always
+    assert recall >= 0.9, f"IVF top-1 recall {recall}"

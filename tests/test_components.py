@@ -40,3 +40,37 @@ def test_canonicalize_aliases(spark):
     rows = {r["text"]: r["canonical"] for r in canonicalize_aliases(df).collect()}
     assert rows["DataLoader"] == rows["data_loader"] == rows["Data-Loader"]
     assert rows["Other"] == "Other"
+
+
+def test_cc_alias_canonical_single_hop(spark):
+    from pdf_knowledge_extractor_spark.operators.components import (
+        cc_alias_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [("dataloader",), ("data_loader",), ("data-loader",), ("other",)],
+        "text string",
+    )
+    m = {r["text"]: r["canonical"] for r in cc_alias_canonical(df).collect()}
+    # '_' < '-'? no: '-' (0x2d) < '_' (0x5f) -> canonical is 'data-loader'
+    assert m["dataloader"] == m["data_loader"] == m["data-loader"]
+    assert m["other"] == "other"
+
+
+def test_cc_canonical_merge_equivalent_on_disjoint_groups(spark, small_corpus):
+    from pdf_knowledge_extractor_spark.operators.concepts import (
+        aggregate_concepts,
+        canonical_merge,
+    )
+    from pdf_knowledge_extractor_spark.operators.mentions import (
+        keyword_mentions,
+    )
+
+    m = keyword_mentions(small_corpus, "doc_id", "content")
+    raw = aggregate_concepts(m, min_frequency=1, max_concepts=None)
+    a = canonical_merge(raw, 1, None, use_cc=False)
+    b = canonical_merge(raw, 1, None, use_cc=True)
+    ka = {(r["text"], r["concept_type"]): r["frequency"] for r in a.collect()}
+    kb = {(r["text"], r["concept_type"]): r["frequency"] for r in b.collect()}
+    # single mention type -> per-type and pooled grouping coincide
+    assert ka == kb

@@ -121,3 +121,23 @@ def test_chunking_windows(spark):
     assert all(len(c) <= 1000 for c in chunks)
     # overlap: consecutive chunks share 100 chars of position space
     assert len(chunks) == (2500 - 1) // 900 + 1
+
+
+def test_nfkc_clean(spark):
+    from pdf_knowledge_extractor_spark.functions.normalize import clean_for_llm
+
+    df = spark.createDataFrame(
+        [
+            (0, "ﬁle  ｆｕｌｌwidth"),            # ligature + fullwidth
+            (1, "a\x00b\x07c"),                  # control chars
+            (2, "abcdefghij" * 5),               # 5 repeats of 10 chars -> 2
+            (3, None),
+        ],
+        "id long, s string",
+    )
+    rows = {r["id"]: r["c"] for r in df.select(
+        "id", clean_for_llm(F.col("s")).alias("c")).collect()}
+    assert rows[0] == "file fullwidth"
+    assert rows[1] == "abc"
+    assert rows[2] == "abcdefghij" * 2
+    assert rows[3] is None
