@@ -61,7 +61,18 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     corpus_rows = int(os.environ.get("PKE_BENCH_CORPUS_ROWS", str(int(500_000 * sf))))
 
-    spark = get_spark("pke-bench", cpus=cpus)
+    # tuned for this workload shape (many short expression-heavy
+    # stages): janino compilation is driver-serial and costs more than
+    # interpreted eval saves; AQE re-planning likewise (measured in
+    # BENCH/BASELINE.md)
+    spark = get_spark(
+        "pke-bench", cpus=cpus,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        },
+    )
     qs = entry_queries.get_queries()
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
