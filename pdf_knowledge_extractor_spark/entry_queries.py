@@ -1336,3 +1336,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=5, n_lists=16, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# q36 — rolling trend frame (W7): last-3-event average per user
+# ---------------------------------------------------------------------------
+@_register(
+    "rolling_trend",
+    """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS rolling_avg,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+FROM events
+""",
+)
+def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.avg("value").over(w.rowsBetween(-2, 0)), 6
+        ).alias("rolling_avg"),
+        F.round(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_sum"),
+    )

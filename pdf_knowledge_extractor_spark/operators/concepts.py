@@ -41,19 +41,36 @@ def aggregate_concepts(
     concepts(text, concept_type, frequency, importance, document_ids,
     n_documents).
     """
+    has_context = "context" in mentions.columns
     salted = mentions.select(
         F.lower(F.col("text")).alias("text"),
         "concept_type",
         "importance",
         "doc_id",
+        *(["context"] if has_context else []),
         F.pmod(F.hash("doc_id"), F.lit(n_salts)).alias("_salt"),
     )
-    partial = salted.groupBy("text", "concept_type", "_salt").agg(
+    partial_aggs = [
         F.count("*").alias("_cnt"),
         F.sum("importance").alias("_imp_sum"),
         F.collect_set("doc_id").alias("_docs"),
-    )
-    merged = partial.groupBy("text", "concept_type").agg(
+    ]
+    if has_context:
+        # first-5 cap per reference (semantic_analyzer.py:442); cap the
+        # partials too so no unbounded lists cross the shuffle
+        partial_aggs.append(
+            F.slice(
+                F.array_distinct(
+                    F.filter(
+                        F.collect_list("context"), lambda c: c.isNotNull()
+                    )
+                ),
+                1,
+                5,
+            ).alias("_ctx")
+        )
+    partial = salted.groupBy("text", "concept_type", "_salt").agg(*partial_aggs)
+    merge_aggs = [
         F.sum("_cnt").alias("frequency"),
         (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
         F.slice(
@@ -61,7 +78,18 @@ def aggregate_concepts(
             1,
             doc_id_cap,
         ).alias("document_ids"),
-    )
+    ]
+    if has_context:
+        merge_aggs.append(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("_ctx")))
+                ),
+                1,
+                5,
+            ).alias("context_sentences")
+        )
+    merged = partial.groupBy("text", "concept_type").agg(*merge_aggs)
     merged = merged.withColumn("n_documents", F.size("document_ids"))
     if min_frequency and min_frequency > 1:
         merged = merged.filter(F.col("frequency") >= min_frequency)

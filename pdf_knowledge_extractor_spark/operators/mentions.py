@@ -104,18 +104,36 @@ def _code_entities(content: pd.Series, lang: pd.Series) -> pd.Series:
 
 
 def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     with_context: bool = False) -> DataFrame:
     """Per-doc keyword mention stream: (doc_id, text, concept_type,
-    importance). importance = 0.5 flat pre-TFIDF (re-scored by the
-    concept aggregation / tfidf stage)."""
-    return (
+    importance[, context]). importance = 0.5 flat pre-TFIDF (re-scored
+    by the concept aggregation / tfidf stage).
+
+    ``with_context`` adds the first sentence containing the mention
+    (reference _get_concept_context, semantic_analyzer.py:703-711) as
+    a pure column expression: sentence split + array filter.
+    """
+    out = (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
             F.explode(keyword_tokens_nostop(F.col(text_col))).alias("text"),
         )
         .withColumn("concept_type", F.lit("keyword"))
         .withColumn("importance", F.lit(0.5))
     )
+    if with_context:
+        sentences = F.split(F.col("_text"), r"(?<=[.!?])\s+")
+        ctx = F.element_at(
+            F.filter(
+                sentences,
+                lambda s: F.contains(F.lower(s), F.col("text")),
+            ),
+            1,
+        )
+        out = out.withColumn("context", ctx)
+    return out.drop("_text")
 
 
 def phrase_mentions(docs: DataFrame, id_col: str = "doc_id",

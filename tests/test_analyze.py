@@ -35,3 +35,26 @@ def test_analyze_incremental_detects_new_docs(spark, small_corpus):
     )
     assert res["new_documents"].count() == 50
     assert res["triples"].count() > 0
+
+
+def test_multi_format_roundtrip(spark, small_corpus, tmp_path):
+    from pdf_knowledge_extractor_spark.sources.formats import (
+        load_corpus_any,
+        write_corpus_any,
+    )
+
+    src = small_corpus.select("repo", "path", "commit", "lang", "content")
+    n = src.count()
+    for fmt in ("parquet", "json", "orc"):
+        out = str(tmp_path / fmt)
+        write_corpus_any(src, out, fmt)
+        back = load_corpus_any(spark, out, fmt)
+        assert back.count() == n, fmt
+        assert back.columns == src.columns, fmt
+    # csv: newlines in content need multiLine handling — verify the
+    # loader enforces schema on a flat subset instead
+    flat = src.withColumn("content", F.regexp_replace("content", "\n", " "))
+    out = str(tmp_path / "csv")
+    write_corpus_any(flat, out, "csv")
+    back = load_corpus_any(spark, out, "csv")
+    assert back.count() == n

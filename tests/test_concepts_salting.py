@@ -75,3 +75,25 @@ def test_canonical_merge_collapses_aliases(spark, small_corpus):
     total_raw = sum(r["frequency"] for r in raw_variants)
     total_merged = sum(r["frequency"] for r in merged_variants)
     assert total_raw == total_merged
+
+
+def test_context_sentences_collected(spark):
+    from pdf_knowledge_extractor_spark.operators.mentions import (
+        keyword_mentions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark shuffles data. The shuffle is expensive! More text."),
+            (2, "Another document about shuffle behavior. Unrelated tail."),
+        ],
+        "doc_id long, text string",
+    )
+    m = keyword_mentions(docs, with_context=True)
+    row = m.filter(F.col("text") == "shuffles").first()
+    assert row["context"] == "Spark shuffles data."
+    c = aggregate_concepts(m, min_frequency=1, max_concepts=None)
+    shuffle = c.filter(F.col("text") == "shuffle").first()
+    assert shuffle is not None
+    assert 1 <= len(shuffle["context_sentences"]) <= 5
+    assert all("shuffle" in s.lower() for s in shuffle["context_sentences"])
