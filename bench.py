@@ -52,6 +52,17 @@ HEADLINE = (
     # corpus inside kg_pipeline
     "contains_triples",
     "exact_dedup",
+    # training-data-pipeline extensions (cheap at sf0.1; ann_topk's
+    # brute-force path is excluded — it is the rescoring primitive,
+    # benched indirectly via the blocked variants)
+    "minhash_dedup",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "lang_id",
+    "text_validity",
+    "doc_chunks",
+    "rolling_trend",
+    "events_pivot",
 )
 
 
