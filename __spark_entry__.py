@@ -1,11 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship end-to-end KG pipeline at sf0.001.
-``queries()`` / ``oracle_sql()`` expose every SQL-expressible operator
-from SURVEY.md §2 with a DuckDB oracle; non-SQL-expressible ops
-(LSH blocking, simhash/minhash dedup, KMeans clustering, connected
-components, the full triple pipeline) appear in queries() only
-(rows-only check).
+``queries()`` / ``oracle_sql()`` expose every operator from
+SURVEY.md §2 with a DuckDB oracle — including the blocked/iterative
+ops (round 2): minhash dedup is checked against the exact-Jaccard
+ground truth, simhash + hyperplane-LSH + multi-probe IVF are
+re-derived in SQL from md5-based hashes, connected components against
+a recursive-CTE fixpoint, KMeans against its partition invariant, and
+the full pipeline against composed per-predicate count CTEs. The one
+remaining rows-only query is kmeans_summaries (cluster memberships
+are not SQL-derivable; its invariant is oracle-gated separately).
 """
 
 from __future__ import annotations

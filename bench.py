@@ -72,18 +72,23 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     corpus_rows = int(os.environ.get("PKE_BENCH_CORPUS_ROWS", str(int(500_000 * sf))))
 
-    # tuned for this workload shape (many short expression-heavy
-    # stages): janino compilation is driver-serial and costs more than
-    # interpreted eval saves; AQE re-planning likewise (measured in
-    # BENCH/BASELINE.md)
-    spark = get_spark(
-        "pke-bench", cpus=cpus,
-        extra_conf={
+    # PRODUCTION confs by default (the engine's own session defaults:
+    # AQE on, whole-stage codegen on) — what a real cluster would run,
+    # where janino compile cost amortizes over 100x more data per
+    # stage. PKE_BENCH_PROFILE=tuned re-enables the local-only
+    # NO_CODEGEN/AQE-off profile for comparison; the measured delta per
+    # profile lives in BENCH/BASELINE.md.
+    profile = os.environ.get("PKE_BENCH_PROFILE", "production")
+    extra_conf = (
+        {
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.codegen.wholeStage": "false",
             "spark.sql.codegen.factoryMode": "NO_CODEGEN",
-        },
+        }
+        if profile == "tuned"
+        else {}
     )
+    spark = get_spark("pke-bench", cpus=cpus, extra_conf=extra_conf)
     qs = entry_queries.get_queries()
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
@@ -118,6 +123,7 @@ def main() -> None:
                 "triples": n_triples,
                 "triples_per_sec": round(n_triples / dt, 1),
                 "cpus": cpus,
+                "profile": profile,
             }
         )
     )

@@ -1046,34 +1046,223 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible; driver records row counts)
+# formerly rows-only queries, now oracle-gated (round 2): every blocked /
+# iterative operator gets a DuckDB-checkable derivation — either the SQL
+# reproduces the ground truth the operator must equal (minhash verify,
+# pigeonhole-complete simhash), re-derives the exact same deterministic
+# plan from md5-based hashes (simhash, hyperplane LSH, multi-probe IVF),
+# or computes the fixpoint with a recursive CTE (connected components).
 # ---------------------------------------------------------------------------
-@_register("minhash_dedup")
+@_register(
+    "minhash_dedup",
+    r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> len(w) > 0) AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+    FROM words, unnest(range(1, len(ws) - 1)) r(i)
+    WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc1_id, i.doc2_id,
+       round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sz s1 ON i.doc1_id = s1.doc_id
+JOIN sz s2 ON i.doc2_id = s2.doc_id
+WHERE i.inter::DOUBLE / (s1.sz + s2.sz - i.inter) >= 0.5
+""",
+)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded dedup vs the GROUND-TRUTH oracle: the SQL
+    computes the full exact-Jaccard pair set at the same threshold, so
+    the hash match proves banding recall is 1.0 on this corpus (the
+    verify stage already makes precision exactly 1.0 — every emitted
+    pair carries its true Jaccard). Deterministic: xxhash64 signatures,
+    fixed band split."""
     from pdf_knowledge_extractor_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "doc1_id", "doc2_id", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
-@_register("simhash_pairs")
+@_register(
+    "simhash_pairs",
+    r"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_filter(
+               regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> len(x) > 0)) AS w
+    FROM documents
+),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, w),
+h AS (
+    SELECT doc_id, tf,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT AS lo,
+           ('0x' || substr(md5(w), 9, 8))::BIGINT AS hi
+    FROM tf
+),
+bits AS (
+    SELECT doc_id, b,
+           CASE WHEN sum(tf * (CASE WHEN
+                    ((CASE WHEN b < 32 THEN lo ELSE hi END) >> (b % 32)) & 1 = 1
+                THEN 1 ELSE -1 END)) > 0
+                THEN 1::BIGINT ELSE 0::BIGINT END AS bv
+    FROM h, range(64) r(b)
+    GROUP BY doc_id, b
+),
+sigs AS (
+    SELECT doc_id,
+           sum(CASE WHEN b < 32 THEN bv << b ELSE 0 END)::BIGINT AS sh_lo,
+           sum(CASE WHEN b >= 32 THEN bv << (b - 32) ELSE 0 END)::BIGINT AS sh_hi
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
+       (bit_count(xor(a.sh_lo, b.sh_lo))
+        + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 8
+""",
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, fully SQL-verified: hash_fn='md5' makes
+    the 64-bit signatures reproducible in DuckDB (same md5 hex, same
+    bit parities), and the auto band count (16 blocks > max_hamming=8)
+    makes the pigeonhole candidate stage COMPLETE — so the banded
+    equi-join + popcount verify must emit exactly the brute-force
+    hamming ball the oracle computes."""
     from pdf_knowledge_extractor_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=8, hash_fn="md5"
+    ).select("doc1_id", "doc2_id", F.col("hamming").cast("long").alias("hamming"))
 
 
-@_register("ann_lsh_topk")
+# shared CTE: deterministic md5-parity hyperplanes (ann.hyperplane_sign)
+def _sql_planes(n_tables: int, n_bits: int, dim: int) -> str:
+    return f"""
+planes AS (
+    SELECT t, b,
+           list_transform(range({dim}), i ->
+               CASE WHEN ('0x' || substr(md5(t || '_' || b || '_' || i), 1, 1))::INT
+                         & 1 = 1
+                    THEN 1.0 ELSE -1.0 END) AS r
+    FROM range({n_tables}) tt(t), range({n_bits}) bb(b)
+),
+vbits AS (
+    SELECT e.vec_id, p.t, p.b,
+           CASE WHEN list_sum(list_transform(range({dim}), i ->
+                    e.embedding[i + 1]::DOUBLE * p.r[i + 1])) > 0
+                THEN (1::BIGINT << p.b) ELSE 0::BIGINT END AS wgt
+    FROM embeddings e, planes p
+),
+sigs AS (SELECT vec_id, t, sum(wgt)::BIGINT AS sig FROM vbits GROUP BY vec_id, t)"""
+
+
+_SQL_ANN_TOPK_TAIL = """
+scored AS (
+    SELECT c.query_id, c.nbr_id,
+           list_cosine_similarity(qa.embedding::DOUBLE[],
+                                  qb.embedding::DOUBLE[]) AS cosine
+    FROM cand c
+    JOIN embeddings qa ON c.query_id = qa.vec_id
+    JOIN embeddings qb ON c.nbr_id = qb.vec_id
+)
+SELECT query_id, nbr_id, round(cosine, 4) AS cosine, rank::INT AS rank FROM (
+    SELECT query_id, nbr_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+WITH {_sql_planes(8, 8, 64).strip()},
+cand AS (
+    SELECT DISTINCT s1.vec_id AS query_id, s2.vec_id AS nbr_id
+    FROM sigs s1
+    JOIN sigs s2 ON s1.t = s2.t AND s1.sig = s2.sig AND s1.vec_id <> s2.vec_id
+),
+{_SQL_ANN_TOPK_TAIL.strip()}
+""",
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, fully SQL-verified: the ±1 hyperplanes are
+    md5-parity constants (ann.hyperplane_sign), so DuckDB re-derives
+    the identical buckets, candidate set, exact rescore and top-5 —
+    the hash match checks the whole blocked plan, not just row
+    counts."""
     from pdf_knowledge_extractor_spark.operators.ann import lsh_bucketed_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, k=5)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return lsh_bucketed_topk(emb, k=5, n_bits=8, n_tables=8, dim=64).select(
+        "query_id",
+        "nbr_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
-@_register("kmeans_clusters")
+@_register(
+    "kmeans_clusters",
+    f"""
+WITH {_SQL_TFIDF.lstrip()}
+SELECT 5::BIGINT AS n_clusters,
+       count(DISTINCT doc_id)::BIGINT AS n_assignments,
+       count(DISTINCT doc_id)::BIGINT AS n_distinct_docs
+FROM tfidf
+""",
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans partition invariant, oracle-checked: k=5 (pinned, seed
+    42) must assign EVERY vectorizable document (tfidf norm > 0) to
+    exactly one of 5 non-empty clusters. The oracle derives the
+    universe from the same tf-idf SQL; the cluster detail (labels,
+    memberships, centroid terms) is driver-unsafe (map columns) and is
+    gated by pytest (test_clustering) plus the kmeans_summaries
+    rows-only query."""
+    from pdf_knowledge_extractor_spark.operators.clustering import (
+        cluster_documents,
+    )
+    from pdf_knowledge_extractor_spark.operators.tfidf import to_ml_vectors
+
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
+    vectors = to_ml_vectors(t, vocab_size=1 << 12)
+    assignments, _, _ = cluster_documents(vectors, k=5)
+    return assignments.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").alias("n_assignments"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_docs"),
+    )
+
+
+@_register("kmeans_summaries")
+def q_kmeans_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster detail (C2/J4/W5), driver-safe projection: nested
+    map/array columns JSON-encoded, deterministic ordering. Rows-only
+    by contract — KMeans memberships are not SQL-derivable; the
+    partition invariant is oracle-gated by kmeans_clusters."""
     from pdf_knowledge_extractor_spark.operators.clustering import (
         cluster_documents,
         cluster_summaries,
@@ -1085,11 +1274,48 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count()).persist()
     vectors = to_ml_vectors(t, vocab_size=1 << 12)
     assignments, _, _ = cluster_documents(vectors, k=5)
-    return cluster_summaries(assignments, t)
+    return (
+        cluster_summaries(assignments, t)
+        .select(
+            "cluster_id",
+            "cluster_label",
+            F.to_json("document_ids").alias("document_ids"),
+            F.col("n_documents").cast("long").alias("n_documents"),
+            F.to_json("centroid_features").alias("centroid_features"),
+            F.to_json("main_topics").alias("main_topics"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
-@_register("connected_components")
+@_register(
+    "connected_components",
+    f"""
+WITH RECURSIVE {_SQL_TFIDF.lstrip()},
+cc_pairs AS (
+    SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+    FROM tfidf a JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.weight * b.weight), 6) >= 0.8
+),
+cc_edges AS (
+    SELECT doc1_id::VARCHAR AS a, doc2_id::VARCHAR AS b FROM cc_pairs
+    UNION
+    SELECT doc2_id::VARCHAR AS a, doc1_id::VARCHAR AS b FROM cc_pairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM cc_edges
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN cc_edges e ON e.a = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+""",
+)
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label-propagation components vs a recursive-CTE oracle:
+    DuckDB computes the transitive closure and takes min(label) per
+    node — exactly the iterative-join fixpoint, so membership AND
+    component ids (string-min, matching components.py) hash-match."""
     from pdf_knowledge_extractor_spark.operators.components import (
         connected_components,
     )
@@ -1097,16 +1323,103 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     km = keyword_mentions(d)
     t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
-    pairs = exact_cosine_pairs(t, threshold=0.8)
+    pairs = exact_cosine_pairs(t, threshold=0.8, round_dp=6)
     edges = pairs.select(
         F.col("doc1_id").cast("string").alias("src"),
         F.col("doc2_id").cast("string").alias("dst"),
     )
     return connected_components(edges)
 
+# ---------------------------------------------------------------------------
+# kg_pipeline_triples — per-predicate counts of the full exact-strategy
+# pipeline vs a composed DuckDB oracle: keyword+phrase mentions, alias
+# canonical merge, top-100 concept cut, contains/similar_to/related_to
+# edges and every K5 property predicate re-derived in SQL.
+# ---------------------------------------------------------------------------
+_SQL_KG_CONCEPTS = f"""
+kwarr AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '\\b[a-z]{{4,}}\\b'),
+                       w -> NOT list_contains([{sql_list(STOP_WORDS)}], w)) AS ws
+    FROM documents
+),
+phr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS text
+    FROM kwarr
+),
+ment AS (
+    SELECT doc_id, word AS text, 'keyword' AS ctype, 0.5 AS imp FROM kw
+    UNION ALL
+    SELECT doc_id, text, 'phrase' AS ctype, 0.6 AS imp FROM phr
+),
+variants AS (SELECT DISTINCT text, ctype FROM ment),
+canon AS (
+    SELECT text, ctype,
+           min(text) OVER (
+               PARTITION BY regexp_replace(text, '[-_.\\s]+', '', 'g'), ctype
+           ) AS ctext
+    FROM variants
+),
+m2 AS (
+    SELECT c.ctext AS text, m.ctype, m.doc_id, m.imp
+    FROM ment m JOIN canon c ON m.text = c.text AND m.ctype = c.ctype
+),
+g2 AS (
+    SELECT text, ctype, count(*)::BIGINT AS freq, avg(imp) AS imp,
+           count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM m2 GROUP BY text, ctype
+    HAVING count(*) >= 2
+),
+top100 AS (
+    SELECT * FROM g2
+    ORDER BY round(imp, 9) DESC, freq DESC, text ASC LIMIT 100
+)"""
 
-@_register("kg_pipeline_triples")
+_SQL_KG_ORACLE = f"""
+WITH {_SQL_TFIDF.lstrip()},
+{_SQL_KG_CONCEPTS.strip()},
+counts AS (
+    SELECT 'contains' AS pred,
+           (SELECT coalesce(sum(ndocs), 0) FROM top100)::BIGINT AS n
+    UNION ALL
+    SELECT 'similar_to',
+           (SELECT count(*) FROM (
+                SELECT 1 FROM tfidf a
+                JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING round(sum(a.weight * b.weight), 6) >= 0.7
+           ))::BIGINT
+    UNION ALL
+    SELECT 'related_to',
+           (SELECT count(*) FROM top100 a JOIN top100 b
+            ON a.text < b.text AND a.ctype <> b.ctype
+               AND (a.imp + b.imp) / 2.0 > 0.5)::BIGINT
+    UNION ALL
+    SELECT 'skos:definition',
+           (SELECT count(*) FROM top100 WHERE ctype = 'keyword')::BIGINT
+    UNION ALL
+    SELECT p.pred, (SELECT count(*) FROM documents)::BIGINT
+    FROM (VALUES ('pdf:wordCount'), ('pdf:characterCount'),
+                 ('pdf:sentimentScore'), ('pdf:sentimentLabel'),
+                 ('pdf:documentType'), ('dc:title'), ('dct:created')) p(pred)
+    UNION ALL
+    SELECT p.pred, (SELECT count(*) FROM top100)::BIGINT
+    FROM (VALUES ('skos:prefLabel'), ('pdf:conceptType'),
+                 ('pdf:importanceScore'), ('pdf:frequency')) p(pred)
+)
+SELECT pred, n FROM counts WHERE n > 0
+"""
+
+
+@_register("kg_pipeline_triples", _SQL_KG_ORACLE)
 def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline (exact similarity strategy, alias
+    canonicalization, definitions on) -> per-predicate triple counts,
+    hash-matched against the composed SQL derivation of every stage.
+    created_at pinned so dct:created is reproducible; similarity
+    thresholding on round(score, 6) per the oracle-parity convention."""
     from pdf_knowledge_extractor_spark.plans.pipeline import (
         PipelineConfig,
         run_pipeline,
@@ -1114,9 +1427,16 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     res = run_pipeline(
-        spark, d, PipelineConfig(similarity_strategy="exact")
+        spark,
+        d,
+        PipelineConfig(
+            similarity_strategy="exact",
+            similarity_round_dp=6,
+            created_at="2026-01-01T00:00:00",
+        ),
     )
-    return res["triples"]
+    return res["triples"].groupBy("pred").agg(F.count("*").alias("n"))
+
 
 # ---------------------------------------------------------------------------
 # q29 — size-limit routing (F1): processable vs special_handling
@@ -1330,12 +1650,46 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_ivf_topk")
+@_register(
+    "ann_ivf_topk",
+    f"""
+WITH {_sql_planes(1, 4, 64).strip()},
+probes AS (
+    SELECT s.vec_id AS query_id, l.lid
+    FROM sigs s, range(16) l(lid)
+    QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id
+        ORDER BY bit_count(xor(s.sig, l.lid)) ASC, l.lid ASC
+    ) <= 4
+),
+cand AS (
+    SELECT p.query_id, s2.vec_id AS nbr_id
+    FROM probes p JOIN sigs s2 ON s2.sig = p.lid AND s2.vec_id <> p.query_id
+),
+{_SQL_ANN_TOPK_TAIL.strip()}
+""",
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_knowledge_extractor_spark.operators.ann import ivf_topk
+    """IVF ANN with the deterministic hyperplane coarse quantizer +
+    multi-probe (ann.ivf_multiprobe_topk): 16 inverted lists = 4
+    md5-parity sign bits, each query probes its 4 Hamming-closest
+    lists. Fully re-derived by the SQL oracle — lists, probe order,
+    rescoring and top-5 all hash-match. The KMeans-quantizer IVF
+    (ann.ivf_topk) keeps its pytest recall gate (test_ann)."""
+    from pdf_knowledge_extractor_spark.operators.ann import ivf_multiprobe_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=5, n_lists=16, n_probe=3)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return ivf_multiprobe_topk(
+        emb, k=5, n_lists=16, n_probe=4, dim=64
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -70,27 +70,29 @@ def brute_force_topk(
     )
 
 
+def hyperplane_sign(table: int, bit: int, index: int) -> float:
+    """Deterministic ±1 hyperplane component: parity of the first hex
+    digit of md5("table_bit_index"). md5 is identical in Python,
+    Spark SQL and DuckDB, so the same hyperplanes — and therefore the
+    exact bucket assignment — can be re-derived by the SQL oracle."""
+    import hashlib
+
+    h = hashlib.md5(f"{table}_{bit}_{index}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) & 1 else -1.0
+
+
 def _hyperplane_bits(vec_col, dim: int, n_bits: int, table: int):
-    """n_bits sign bits from deterministic ±1 hyperplanes
-    (component sign = parity of xxhash64(table, bit, index))."""
-    bits = []
+    """n_bits-bit bucket id: bit b = [dot(v, r_{table,b}) > 0], packed
+    as Σ bit_b * 2^b. The ±1 hyperplanes are PYTHON-side constants
+    (hyperplane_sign) folded into literal arrays — computed once at
+    plan build instead of hashed per row per component."""
+    sig = F.lit(0)
     for b in range(n_bits):
-        # dot(v, r_b) with r_b[i] = ±1 from hash parity
-        contrib = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: F.when(
-                    F.pmod(F.xxhash64(F.lit(table), F.lit(b), i), 2) == 1, x
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        r = F.array(
+            *[F.lit(hyperplane_sign(table, b, i)) for i in range(dim)]
         )
-        bits.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig * 2 + b
+        contrib = _dot(vec_col, r)
+        sig = sig + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
 
 
@@ -118,35 +120,127 @@ def lsh_bucketed_topk(
             for t in range(n_tables)
         ],
     ).persist()
+    # bucket rows carry ids only — the multi-table dedup (distinct)
+    # must not shuffle embedding vectors; they are re-attached to the
+    # deduped id pairs afterwards (the _rescore_candidates pattern)
     buckets = sigs.select(
         "vid",
-        "vec",
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("sig"))
                 for t in range(n_tables)
             ])
         ).alias("b"),
-    ).select("vid", "vec", F.col("b.tbl"), F.col("b.sig"))
-    c1 = buckets.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
-        "tbl", "sig",
-    )
-    c2 = buckets.select(
-        F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec"),
-        "tbl", "sig",
-    )
+    ).select("vid", F.col("b.tbl"), F.col("b.sig"))
+    c1 = buckets.select(F.col("vid").alias("query_id"), "tbl", "sig")
+    c2 = buckets.select(F.col("vid").alias("nbr_id"), "tbl", "sig")
     cand = (
         c1.join(c2, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "q_vec", "nbr_id", "nbr_vec")
+        .select("query_id", "nbr_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec"))
+    vecs = sigs.select("vid", "vec")
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")
+            ),
+            "nbr_id",
+        )
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))
+    )
+    # tie-break on round(cosine, 9) so last-ulp float noise between
+    # engines cannot reorder equal-similarity neighbors
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF with a deterministic hyperplane coarse quantizer +
+    multi-probe (Lv et al., "Multi-Probe LSH", VLDB'07 — public
+    technique): list id = log2(n_lists) hyperplane sign bits; a query
+    probes the ``n_probe`` lists closest to its own code by Hamming
+    distance (ties: list id asc) and scores exactly within them.
+
+    Same shape as the KMeans IVF (ivf_topk) — inverted lists bound the
+    candidate set to ~n_probe/n_lists of the corpus — but the
+    quantizer is a pure function of the vector, so the whole operator
+    (lists, probe order, rescoring, top-k) is reproducible by the
+    DuckDB SQL oracle, which is how the driver contract gates it.
+    ``n_lists`` must be a power of two.
+    """
+    m = n_lists.bit_length() - 1
+    if (1 << m) != n_lists:
+        raise ValueError("n_lists must be a power of two")
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    assigned = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _hyperplane_bits(F.col(vec_col), dim, m, table=0).alias("list_id"),
+    ).persist()
+    spark = embeddings.sparkSession
+    lists = spark.range(n_lists).select(F.col("id").cast("int").alias("probe_list"))
+    # probe set: n_probe lists by hamming(query code, list id)
+    q = assigned.select(
+        F.col("vid").alias("query_id"), F.col("list_id").alias("q_code")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("probe_list")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(lists))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("q_code").bitwiseXOR(F.col("probe_list")).cast("long")
+            ),
+        )
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", F.col("probe_list").alias("list_id"))
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", F.col("vid").alias("nbr_id"))
+    )
+    vecs = assigned.select("vid", "vec")
+    scored = (
+        cand.join(
+            vecs.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")),
+            "nbr_id",
+        )
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("nbr_id")
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -223,7 +317,9 @@ def ivf_topk(
     scored = cand.withColumn(
         "cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

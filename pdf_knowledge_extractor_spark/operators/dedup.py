@@ -119,26 +119,25 @@ def minhash_signatures(
     posts: DataFrame, num_hashes: int = 64
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — k minhashes per doc via
-    min(xxhash64(shingle, seed_k)). One explode + one groupBy."""
-    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = posts.select(
-        "doc_id",
-        F.explode(ks).alias("k"),
-        F.col("shingle"),
-    ).select(
-        "doc_id", "k", F.xxhash64(F.col("shingle"), F.col("k")).alias("h")
+    min(xxhash64(shingle, seed_k)).
+
+    One groupBy(doc) gathers the shingle set; the K signatures are
+    array expressions over it (sig[k] = array_min(xxhash64(s, k))) —
+    no K-fold explode, so the shuffle moves each shingle ONCE instead
+    of K times (the 64x row blowup was the dominant cost of the old
+    two-groupBy plan; same fix as similarity.minhash_blocked_cosine_
+    pairs). Output is bit-identical to the exploded version: the same
+    xxhash64(shingle, k) values feed the same min."""
+    shingle_sets = posts.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_sh")
     )
-    return (
-        hashed.groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "mh"))),
-                lambda s: s["mh"],
-            ).alias("sig")
-        )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, k))
+        ),
     )
+    return shingle_sets.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -213,52 +212,60 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens weighted by tf (Charikar,
     STOC'02 — public algorithm): bit_j = sign(Σ_tokens tf * ±1 where
     the sign is bit j of hash(token)). Signature carried as two 32-bit
-    halves (sh_hi, sh_lo) — overflow-free under ANSI mode. Pure column
-    expressions; the per-bit explode is 64x the token table but stays
-    map-side until the (doc, bit) groupBy."""
+    halves (sh_hi, sh_lo) — overflow-free under ANSI mode.
+
+    One shuffle only (the (doc, token) tf groupBy); the 64 bit-sums
+    are array expressions over the per-doc token list — the old
+    per-bit explode moved 64x the token table through a second
+    shuffle for the exact same arithmetic.
+
+    ``hash_fn``: "xxhash64" (default, fastest) or "md5" — two 32-bit
+    halves parsed from the md5 hex digest. md5 exists identically in
+    DuckDB, which makes the whole signature (and therefore the pair
+    set) reproducible in the SQL oracle — the driver-contract gate
+    uses it."""
     words = F.split(normalized_text(F.col(text_col)), " ")
+    if hash_fn == "md5":
+        lo = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+    else:
+        lo = F.xxhash64("w").bitwiseAND(F.lit(4294967295))
+        hi = F.shiftrightunsigned(F.xxhash64("w"), 32).bitwiseAND(
+            F.lit(4294967295)
+        )
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("w"))
+        .select("doc_id", "tf", lo.alias("lo"), hi.alias("hi"))
     )
-    per_bit = tf.select(
+    toks = tf.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tf", "lo", "hi")).alias("_t")
+    )
+    # bits[b] = 1 iff Σ tf * (bit b of token hash ? +1 : -1) > 0.
+    # SQL-expr HOF so the per-bit shift amount can be the lambda var.
+    bits = F.expr(
+        "transform(sequence(0, 63), b -> CASE WHEN aggregate(_t, 0L,"
+        " (acc, t) -> acc + CASE WHEN"
+        " (shiftright(CASE WHEN b < 32 THEN t.lo ELSE t.hi END, b % 32) & 1)"
+        " = 1 THEN t.tf ELSE -t.tf END) > 0 THEN 1L ELSE 0L END)"
+    )
+    packed = toks.select("doc_id", bits.alias("_bits")).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "tf",
-        "h",
-    ).withColumn(
-        "contrib",
-        F.when(
-            F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
-        ).otherwise(-F.col("tf")),
-    )
-    bitvals = (
-        per_bit.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval",
-                    F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    half = F.when(F.col("bit") < 32, F.lit("lo")).otherwise(F.lit("hi"))
-    packed = (
-        bitvals.withColumn("half", half)
-        .withColumn(
-            "weighted",
-            F.expr("cast(bitval as bigint) * shiftleft(1L, bit % 32)"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("half") == "lo", F.col("weighted"))
-                  .otherwise(0)).alias("sh_lo"),
-            F.sum(F.when(F.col("half") == "hi", F.col("weighted"))
-                  .otherwise(0)).alias("sh_hi"),
-        )
+        F.expr(
+            "aggregate(sequence(0, 31), 0L,"
+            " (acc, i) -> acc + shiftleft(element_at(_bits, i + 1), i))"
+        ).alias("sh_lo"),
+        F.expr(
+            "aggregate(sequence(0, 31), 0L,"
+            " (acc, i) -> acc + shiftleft(element_at(_bits, i + 33), i))"
+        ).alias("sh_hi"),
     )
     return packed
 
@@ -268,14 +275,23 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bands: int = 8,
+    bands: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via the
-    pigeonhole band trick: split 64 bits into ``bands`` 8-bit blocks —
+    pigeonhole band trick: split 64 bits into ``bands`` equal blocks —
     any pair within distance d < bands shares at least one identical
     block; block-equality equi-join, then exact popcount verify on
-    candidates only."""
-    sigs = simhash_signatures(docs, id_col, text_col).persist()
+    candidates only.
+
+    ``bands`` defaults to the smallest divisor of 64 strictly greater
+    than ``max_hamming`` so the pigeonhole guarantee holds (recall is
+    EXACTLY 1.0 — the output is the complete hamming ball, which is
+    what the DuckDB oracle checks); pass a smaller value to trade
+    recall for fewer candidates at scale."""
+    if bands is None:
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
+    sigs = simhash_signatures(docs, id_col, text_col, hash_fn).persist()
     block_bits = 64 // bands
     half_blocks = 32 // block_bits
     blocks = sigs.select(

@@ -21,18 +21,62 @@ from pdf_knowledge_extractor_spark.operators.concepts import concept_id
 
 
 def document_nodes(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Document nodes with the reference's property map
+    (semantic_analyzer.py:516-528: filename, file size, page count) —
+    keys present only when the source columns exist."""
+    entries = []
+    if "source" in docs.columns:
+        entries.append(
+            F.struct(F.lit("filename").alias("key"),
+                     F.col("source").cast("string").alias("value"))
+        )
+    size_col = next(
+        (c for c in ("char_count", "n_chars") if c in docs.columns), None
+    )
+    if size_col is not None:
+        entries.append(
+            F.struct(F.lit("size").alias("key"),
+                     F.col(size_col).cast("string").alias("value"))
+        )
+        entries.append(
+            F.struct(
+                F.lit("pages").alias("key"),
+                (F.floor(F.col(size_col) / 2500.0) + 1)
+                .cast("long").cast("string").alias("value"),
+            )
+        )
+    props = (
+        F.map_from_entries(F.array(*entries))
+        if entries
+        else F.map_from_entries(
+            F.array().cast("array<struct<key:string,value:string>>")
+        )
+    )
     return docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.lit("document").alias("node_type"),
         F.col(id_col).cast("string").alias("label"),
+        props.alias("props"),
     )
 
 
 def concept_nodes(concepts: DataFrame) -> DataFrame:
+    """Concept nodes with type/frequency/importance props
+    (semantic_analyzer.py:531-543)."""
     return concepts.select(
         concept_id(F.col("text")).alias("id"),
         F.lit("concept").alias("node_type"),
         F.col("text").alias("label"),
+        F.map_from_entries(
+            F.array(
+                F.struct(F.lit("concept_type").alias("key"),
+                         F.col("concept_type").cast("string").alias("value")),
+                F.struct(F.lit("frequency").alias("key"),
+                         F.col("frequency").cast("string").alias("value")),
+                F.struct(F.lit("importance").alias("key"),
+                         F.col("importance").cast("string").alias("value")),
+            )
+        ).alias("props"),
     )
 
 

@@ -111,8 +111,13 @@ def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
     by the concept aggregation / tfidf stage).
 
     ``with_context`` adds the first sentence containing the mention
-    (reference _get_concept_context, semantic_analyzer.py:703-711) as
-    a pure column expression: sentence split + array filter.
+    (reference _extract_context, semantic_analyzer.py:703-711) as
+    a pure column expression: sentence split + array filter. The split
+    regex is ``[.!?]\\s+`` (delimiter consumed, terminal punctuation
+    dropped) rather than the lookbehind form — RE2 engines (DuckDB's
+    regexp_split_to_array, used by the oracle) cannot express
+    lookbehind, and mention tokens never contain punctuation so the
+    containment test is unaffected.
     """
     out = (
         docs.select(
@@ -124,7 +129,7 @@ def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("importance", F.lit(0.5))
     )
     if with_context:
-        sentences = F.split(F.col("_text"), r"(?<=[.!?])\s+")
+        sentences = F.split(F.col("_text"), r"[.!?]\s+")
         ctx = F.element_at(
             F.filter(
                 sentences,

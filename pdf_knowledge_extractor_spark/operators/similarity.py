@@ -35,11 +35,15 @@ def exact_cosine_pairs(
     tfidf: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
     max_df: int | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """(doc_id, term, weight[, df]) L2-normalized -> pairs
     (doc1_id, doc2_id, similarity_score) with doc1 < doc2 and score >=
     threshold. ``max_df`` stop-lists terms occurring in more docs
-    (bounds the term self-join at scale)."""
+    (bounds the term self-join at scale). ``round_dp`` applies the
+    threshold to round(score, dp) instead of the raw double, so
+    last-ulp summation-order noise cannot flip borderline pairs (the
+    oracle-parity convention)."""
     t = tfidf
     if max_df is not None and "df" in t.columns:
         t = t.filter(F.col("df") <= max_df)
@@ -53,12 +57,15 @@ def exact_cosine_pairs(
         F.col("term"),
         F.col("weight").alias("w2"),
     )
+    score = F.col("similarity_score")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
     return (
         a.join(b, "term")
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .groupBy("doc1_id", "doc2_id")
         .agg(F.sum(F.col("w1") * F.col("w2")).alias("similarity_score"))
-        .filter(F.col("similarity_score") >= threshold)
+        .filter(score >= threshold)
     )
 
 

@@ -99,7 +99,12 @@ def to_ml_vectors(tfidf: DataFrame, vocab_size: int = 1 << 18) -> DataFrame:
         ).alias("_entries")
     )
 
-    @F.udf(VectorUDT())
+    # Arrow-optimized UDF (ArrowEvalPython — batched Arrow transfer,
+    # never BatchEvalPython). pandas_udf cannot return VectorUDT (the
+    # Arrow serializer rejects UDT Series), so this is the fastest
+    # Python path Spark offers for sparse-vector assembly; it runs once
+    # per doc on the already-aggregated entries array, not per term.
+    @F.udf(VectorUDT(), useArrow=True)
     def _to_vec(entries):
         if not entries:
             return Vectors.sparse(vocab_size, [])

@@ -51,6 +51,203 @@ def rdf_ntriples_lines(triples: DataFrame) -> DataFrame:
     )
 
 
+# reference JSON-LD envelope (exporters/data_analysis.py:842-860)
+JSONLD_BASE_URI = "https://pdfextractor.ai/kb/"
+JSONLD_CONTEXT = {
+    "@vocab": "https://schema.org/",
+    "pdf": "https://pdfextractor.ai/ontology/",
+    "dct": "http://purl.org/dc/terms/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+}
+
+
+def _uri(kind: str, col) -> F.Column:
+    return F.concat(F.lit(JSONLD_BASE_URI + kind + "/"), uri_encode(col))
+
+
+def jsonld_document_objects(enriched_docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Typed @graph objects for documents
+    (_create_document_jsonld, exporters/data_analysis.py:893-923):
+    @type [DigitalDocument, pdf:AnalyzedDocument] + word/char counts +
+    sentiment. to_json drops null fields, mirroring the reference's
+    conditional property adds."""
+    did = F.col(id_col).cast("string")
+    obj = F.struct(
+        _uri("document", did).alias("@id"),
+        F.array(F.lit("DigitalDocument"), F.lit("pdf:AnalyzedDocument")).alias(
+            "@type"
+        ),
+        did.alias("name"),
+        did.alias("dct:title"),
+        F.col("word_count").cast("long").alias("wordCount"),
+        F.col("char_count").cast("long").alias("characterCount"),
+        F.col("sentiment.score").cast("double").alias("pdf:sentimentScore"),
+        F.col("sentiment.sentiment").alias("pdf:sentimentLabel"),
+    )
+    return enriched_docs.select(F.to_json(obj).alias("jsonld"))
+
+
+def jsonld_concept_objects(concepts: DataFrame) -> DataFrame:
+    """Typed @graph objects for concepts (_create_concept_jsonld,
+    data_analysis.py:925-950): skos:Concept with importance/frequency/
+    documentCount and pdf:appearsIn document refs."""
+    has_ctx = "context_sentences" in concepts.columns
+    fields = [
+        _uri("concept", F.col("text")).alias("@id"),
+        F.array(F.lit("DefinedTerm"), F.lit("skos:Concept")).alias("@type"),
+        F.col("text").alias("name"),
+        F.col("text").alias("skos:prefLabel"),
+        F.col("concept_type").alias("pdf:conceptType"),
+        F.col("importance").cast("double").alias("pdf:importanceScore"),
+        F.col("frequency").cast("long").alias("pdf:frequency"),
+        F.size("document_ids").cast("long").alias("pdf:documentCount"),
+        F.transform(
+            F.col("document_ids"),
+            lambda d: F.struct(
+                _uri("document", d.cast("string")).alias("@id")
+            ),
+        ).alias("pdf:appearsIn"),
+    ]
+    if has_ctx:
+        fields.insert(
+            8,
+            F.substring(F.element_at("context_sentences", 1), 1, 200).alias(
+                "description"
+            ),
+        )
+    return concepts.select(F.to_json(F.struct(*fields)).alias("jsonld"))
+
+
+def jsonld_relationship_objects(similarities: DataFrame) -> DataFrame:
+    """Typed @graph objects for similarity relationships
+    (_create_relationship_jsonld, data_analysis.py:952-975); the
+    reference's enumeration index becomes a deterministic (doc1, doc2)
+    pair key so output is stable under distributed ordering."""
+    obj = F.struct(
+        F.concat(
+            F.lit(JSONLD_BASE_URI + "relationship/"),
+            uri_encode(
+                F.concat_ws(
+                    "_",
+                    F.col("doc1_id").cast("string"),
+                    F.col("doc2_id").cast("string"),
+                )
+            ),
+        ).alias("@id"),
+        F.lit("pdf:DocumentSimilarity").alias("@type"),
+        F.struct(
+            _uri("document", F.col("doc1_id").cast("string")).alias("@id")
+        ).alias("pdf:document1"),
+        F.struct(
+            _uri("document", F.col("doc2_id").cast("string")).alias("@id")
+        ).alias("pdf:document2"),
+        F.col("similarity_score").cast("double").alias("pdf:similarityScore"),
+        F.col("similarity_type").alias("pdf:similarityType"),
+    )
+    return similarities.select(F.to_json(obj).alias("jsonld"))
+
+
+def jsonld_cluster_objects(clusters: DataFrame) -> DataFrame:
+    """Typed @graph objects for clusters (_create_cluster_jsonld,
+    data_analysis.py:977-1013)."""
+    obj = F.struct(
+        _uri(
+            "cluster", F.concat(F.lit("cluster_"),
+                                F.col("cluster_id").cast("string"))
+        ).alias("@id"),
+        F.lit("pdf:DocumentCluster").alias("@type"),
+        F.col("cluster_label").alias("name"),
+        F.col("n_documents").cast("long").alias("pdf:documentCount"),
+        F.transform(
+            F.col("document_ids"),
+            lambda d: F.struct(_uri("document", d).alias("@id")),
+        ).alias("pdf:contains"),
+        F.transform(
+            F.slice(F.col("main_topics"), 1, 5),
+            lambda t: F.struct(
+                F.lit("DefinedTerm").alias("@type"), t.alias("name")
+            ),
+        ).alias("about"),
+    )
+    return clusters.select(F.to_json(obj).alias("jsonld"))
+
+
+def jsonld_structure(
+    relations: dict[str, DataFrame],
+    created: str = "1970-01-01T00:00:00",
+    graph_limit: int | None = None,
+) -> dict:
+    """The reference's full JSON-LD document
+    (_create_jsonld_structure, data_analysis.py:837-891):
+    @context + Dataset envelope + typed @graph. Driver-side assembly —
+    for small/debug exports only; at scale use write_jsonld (the
+    @graph streams to distributed JSONL part files and only the
+    envelope is driver-side)."""
+    import json
+
+    parts = []
+    if "documents" in relations:
+        parts.append(jsonld_document_objects(relations["documents"]))
+    if "concepts" in relations:
+        parts.append(jsonld_concept_objects(relations["concepts"]))
+    if "similarities" in relations:
+        parts.append(jsonld_relationship_objects(relations["similarities"]))
+    if "clusters" in relations:
+        parts.append(jsonld_cluster_objects(relations["clusters"]))
+    graph = []
+    for p in parts:
+        if graph_limit is not None:
+            p = p.limit(graph_limit)
+        graph.extend(json.loads(r["jsonld"]) for r in p.collect())
+    return {
+        "@context": dict(JSONLD_CONTEXT),
+        "@id": JSONLD_BASE_URI + "knowledge-base",
+        "@type": "Dataset",
+        "name": "PDF Knowledge Base",
+        "description": (
+            "Knowledge extracted from PDF documents using semantic analysis"
+        ),
+        "dateCreated": created,
+        "creator": {
+            "@type": "SoftwareApplication",
+            "name": "pdf-knowledge-extractor-spark",
+            "version": "v2.2",
+        },
+        "@graph": graph,
+    }
+
+
+def write_jsonld(
+    relations: dict[str, DataFrame],
+    out_dir: str,
+    created: str = "1970-01-01T00:00:00",
+) -> None:
+    """Scale path for K6: the @graph objects stream to JSONL part
+    files (one line per typed object, distributed write); the tiny
+    @context/Dataset envelope lands in envelope.json on the driver."""
+    import json
+
+    parts = []
+    if "documents" in relations:
+        parts.append(jsonld_document_objects(relations["documents"]))
+    if "concepts" in relations:
+        parts.append(jsonld_concept_objects(relations["concepts"]))
+    if "similarities" in relations:
+        parts.append(jsonld_relationship_objects(relations["similarities"]))
+    if "clusters" in relations:
+        parts.append(jsonld_cluster_objects(relations["clusters"]))
+    graph = parts[0]
+    for p in parts[1:]:
+        graph = graph.unionByName(p)
+    graph.write.mode("overwrite").text(f"{out_dir}/graph")
+    envelope = jsonld_structure({}, created)
+    with open(f"{out_dir}/envelope.json", "w", encoding="utf-8") as f:
+        json.dump(envelope, f, indent=2, ensure_ascii=False)
+
+
 def jsonld_graph(triples: DataFrame) -> DataFrame:
     """Per-subject JSON-LD object: {"@id": subj, pred: [obj...]}
     rendered with to_json over grouped predicate maps (K6 @graph)."""
@@ -70,6 +267,124 @@ def jsonld_graph(triples: DataFrame) -> DataFrame:
             F.struct(F.col("subj").alias("@id"), F.col("props"))
         ).alias("jsonld"),
     )
+
+
+def export_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    output_path: str,
+    format_type: str = "graphml",
+    max_nodes: int = 100_000,
+) -> None:
+    """K4 graph debug sinks (export_knowledge_graph,
+    semantic_analyzer.py:593-604): GraphML / node-link JSON / GEXF.
+
+    Driver-side renderer over collected nodes/edges — these formats
+    are single-document XML/JSON, inherently non-distributed, and the
+    reference uses them for debug-size graphs only. ``max_nodes``
+    guards against accidentally collecting a 100-TB graph; the scale
+    sink remains write_triples (partitioned parquet)."""
+    import json
+    from xml.sax.saxutils import escape, quoteattr
+
+    n = nodes.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"graph debug export capped at {max_nodes} nodes (got {n}); "
+            "use write_triples for full-scale output"
+        )
+    has_props = "props" in nodes.columns
+    node_rows = nodes.collect()
+    edge_rows = edges.collect()
+
+    if format_type == "json":
+        data = {
+            "directed": False,
+            "multigraph": False,
+            "graph": {},
+            "nodes": [
+                {
+                    "id": r["id"],
+                    "node_type": r["node_type"],
+                    "label": r["label"],
+                    **(dict(r["props"]) if has_props and r["props"] else {}),
+                }
+                for r in node_rows
+            ],
+            "links": [
+                {
+                    "source": r["src"],
+                    "target": r["dst"],
+                    "edge_type": r["edge_type"],
+                    "weight": r["weight"],
+                }
+                for r in edge_rows
+            ],
+        }
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2)
+        return
+
+    if format_type == "graphml":
+        lines = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+            '  <key id="d0" for="node" attr.name="node_type" attr.type="string"/>',
+            '  <key id="d1" for="node" attr.name="label" attr.type="string"/>',
+            '  <key id="d2" for="edge" attr.name="edge_type" attr.type="string"/>',
+            '  <key id="d3" for="edge" attr.name="weight" attr.type="double"/>',
+            '  <key id="d4" for="node" attr.name="props" attr.type="string"/>',
+            '  <graph edgedefault="undirected">',
+        ]
+        for r in node_rows:
+            lines.append(f"    <node id={quoteattr(r['id'])}>")
+            lines.append(f'      <data key="d0">{escape(r["node_type"])}</data>')
+            lines.append(f'      <data key="d1">{escape(r["label"])}</data>')
+            if has_props and r["props"]:
+                lines.append(
+                    '      <data key="d4">'
+                    + escape(json.dumps(dict(sorted(r["props"].items()))))
+                    + "</data>"
+                )
+            lines.append("    </node>")
+        for r in edge_rows:
+            lines.append(
+                f"    <edge source={quoteattr(r['src'])} "
+                f"target={quoteattr(r['dst'])}>"
+            )
+            lines.append(f'      <data key="d2">{escape(r["edge_type"])}</data>')
+            lines.append(f'      <data key="d3">{r["weight"]}</data>')
+            lines.append("    </edge>")
+        lines += ["  </graph>", "</graphml>"]
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        return
+
+    if format_type == "gexf":
+        lines = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<gexf xmlns="http://gexf.net/1.2" version="1.2">',
+            '  <graph mode="static" defaultedgetype="undirected">',
+            "    <nodes>",
+        ]
+        for r in node_rows:
+            lines.append(
+                f"      <node id={quoteattr(r['id'])} "
+                f"label={quoteattr(r['label'])}/>"
+            )
+        lines.append("    </nodes>")
+        lines.append("    <edges>")
+        for i, r in enumerate(edge_rows):
+            lines.append(
+                f'      <edge id="{i}" source={quoteattr(r["src"])} '
+                f"target={quoteattr(r['dst'])} weight=\"{r['weight']}\"/>"
+            )
+        lines += ["    </edges>", "  </graph>", "</gexf>"]
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        return
+
+    raise ValueError(f"Unsupported format: {format_type}")
 
 
 def export_csv_relations(relations: dict[str, DataFrame], out_dir: str) -> None:

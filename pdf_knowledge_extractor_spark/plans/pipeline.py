@@ -90,6 +90,16 @@ class PipelineConfig:
     with_entities: bool = True      # code-entity detectors if lang col
     canonicalize: bool = True       # alias canonicalization before cuts
     n_salts: int = 16
+    # skos:definition triples from mention context sentences
+    # (exporters/data_analysis.py:1159-1164)
+    with_definitions: bool = True
+    # dct:created timestamp; None = now() like the reference exporter
+    # (data_analysis.py:1135-1137) — pin it for reproducible output
+    created_at: str | None = None
+    # round similarity scores to this many dp before thresholding
+    # (None = raw compare); the driver contract pins 6 so borderline
+    # float noise cannot flip pairs vs the SQL oracle
+    similarity_round_dp: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -254,12 +264,35 @@ def run_pipeline(
     """Run the full KG-construction DAG; returns every relation."""
     cfg = cfg or PipelineConfig()
 
+    # §2.9 custom hooks (config.yaml.example:176-181 analog): named
+    # preprocessors rewrite the text column before enrichment; named
+    # feature extractors add mention streams below
+    pre_hooks = cfg.extra.get("preprocessing_pipeline") or []
+    if pre_hooks:
+        from pdf_knowledge_extractor_spark.hooks import apply_preprocessors
+
+        docs = docs.withColumn(
+            text_col, apply_preprocessors(F.col(text_col), pre_hooks)
+        )
+
     enriched = enrich_documents(docs, id_col, text_col).persist()
     mentions = all_mentions(
         enriched, id_col=id_col, text_col=text_col,
         lang_col=lang_col if cfg.with_entities else None,
     )
-    kw_mentions = keyword_mentions(enriched, id_col, text_col)
+    extractor_hooks = cfg.extra.get("feature_extractors") or []
+    if extractor_hooks:
+        from pdf_knowledge_extractor_spark.hooks import detector_mentions
+
+        for extra_stream in detector_mentions(
+            enriched, extractor_hooks, id_col=id_col, text_col=text_col
+        ):
+            mentions = mentions.unionByName(extra_stream)
+    # context column only materializes where consumed (the definition
+    # aggregation); column pruning drops it from the tf-idf branch
+    kw_mentions = keyword_mentions(
+        enriched, id_col, text_col, with_context=cfg.with_definitions
+    )
 
     # N = corpus size (cheap column-pruned count; passing the scalar
     # avoids a broadcast subquery that would recompute the whole
@@ -305,7 +338,11 @@ def run_pipeline(
             tfidf, threshold=cfg.similarity_threshold
         )
     else:
-        pairs = exact_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
+        pairs = exact_cosine_pairs(
+            tfidf,
+            threshold=cfg.similarity_threshold,
+            round_dp=cfg.similarity_round_dp,
+        )
     similarities = with_similarity_metadata(pairs).persist()
 
     # per-doc top keywords straight off the persisted tfidf long form
@@ -348,9 +385,15 @@ def run_pipeline(
 
     triple_parts = [
         T3.edge_triples(edges),
-        T3.document_property_triples(enriched, id_col=id_col),
+        T3.document_property_triples(
+            enriched, id_col=id_col, created_at=cfg.created_at
+        ),
         T3.concept_property_triples(concepts),
     ]
+    if cfg.with_definitions:
+        triple_parts.append(
+            T3.concept_definition_triples(concepts, kw_mentions)
+        )
 
     if cfg.with_clusters:
         from pdf_knowledge_extractor_spark.operators.clustering import (

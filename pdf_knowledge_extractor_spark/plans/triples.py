@@ -13,8 +13,12 @@ node-property triples (K5 predicates):
   (doc,     'pdf:wordCount',       n)        (doc, 'pdf:characterCount', n)
   (doc,     'pdf:sentimentScore',  s)        (doc, 'pdf:sentimentLabel', l)
   (doc,     'pdf:documentType',    t)
+  (doc,     'dc:title',            doc id)   (exporters/data_analysis.py:1117-1119)
+  (doc,     'dct:created',         iso ts)   (exporters/data_analysis.py:1135-1137)
   (concept, 'pdf:conceptType',     t)        (concept, 'pdf:importanceScore', s)
   (concept, 'pdf:frequency',       n)        (concept, 'skos:prefLabel', text)
+  (concept, 'skos:definition',     first context sentence[:200])
+                                             (exporters/data_analysis.py:1159-1164)
 
 Output schema: triples(subj, pred, obj, weight, prov) — partitioned by
 pred (then bucketable by subj at real scale; plain parquet partitioning
@@ -54,15 +58,37 @@ def edge_triples(edges: DataFrame) -> DataFrame:
 
 
 def document_property_triples(enriched_docs: DataFrame,
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              created_at: str | None = None) -> DataFrame:
     """enriched docs with word_count/char_count/sentiment/doc_type ->
     one triple per property (K5 document block,
-    exporters/data_analysis.py:1117-1137)."""
+    exporters/data_analysis.py:1117-1137).
+
+    ``created_at``: the dct:created timestamp (reference stamps
+    datetime.now().isoformat() at export time, data_analysis.py:1136).
+    Pass a fixed ISO string for reproducible output (the driver
+    contract does); None stamps the current timestamp at plan build.
+    dc:title = the document id, as in _create_document_rdf
+    (data_analysis.py:1118-1119)."""
+    import datetime as _dt
+
+    if created_at is None:
+        created_at = _dt.datetime.now().isoformat()
     # single scan: build an array of (pred, obj, weight) structs and
-    # explode — one stage instead of five unioned scans
+    # explode — one stage instead of seven unioned scans
     d = enriched_docs
     subj = F.col(id_col).cast("string")
     entries = F.array(
+        F.struct(
+            F.lit("dc:title").alias("pred"),
+            F.col(id_col).cast("string").alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
+        F.struct(
+            F.lit("dct:created").alias("pred"),
+            F.lit(created_at).alias("obj"),
+            F.lit(1.0).alias("weight"),
+        ),
         F.struct(
             F.lit("pdf:wordCount").alias("pred"),
             F.col("word_count").cast("string").alias("obj"),
@@ -132,6 +158,38 @@ def concept_property_triples(concepts: DataFrame) -> DataFrame:
         F.col("e.obj").alias("obj"),
         F.col("e.weight").alias("weight"),
         F.lit("concept_props").alias("prov"),
+    )
+    return _shape(out)
+
+
+def concept_definition_triples(
+    concepts: DataFrame, mentions_with_context: DataFrame
+) -> DataFrame:
+    """skos:definition per concept: the first context sentence,
+    truncated to 200 chars (exporters/data_analysis.py:1159-1164;
+    context extraction mirrors _extract_context,
+    semantic_analyzer.py:703-711).
+
+    "First" is made deterministic as the MIN context string over the
+    concept's mentions (the reference's "first" depends on dict
+    iteration order). The join is on the lowered mention text — for
+    alias-canonicalized concepts this takes the canonical variant's
+    own contexts, a documented narrowing vs pooling every alias's
+    contexts."""
+    ctx = (
+        mentions_with_context.filter(F.col("context").isNotNull())
+        .groupBy(F.lower(F.col("text")).alias("text"))
+        .agg(F.min("context").alias("_def"))
+    )
+    out = (
+        concepts.join(ctx, "text")
+        .select(
+            concept_id(F.col("text")).alias("subj"),
+            F.lit("skos:definition").alias("pred"),
+            F.substring(F.col("_def"), 1, 200).alias("obj"),
+            F.lit(1.0).alias("weight"),
+            F.lit("concept_props").alias("prov"),
+        )
     )
     return _shape(out)
 

@@ -195,13 +195,36 @@ def golden_doc_type(text: str):
     return max(counts.items(), key=lambda x: x[1])[0]
 
 
-def golden_triples(docs, threshold=0.7, min_freq=2, max_concepts=100):
+def golden_definitions(docs, concepts):
+    """skos:definition per keyword concept: min over docs of the first
+    sentence containing the token (split on [.!?]\\s+), truncated to
+    200 chars — restating exporters/data_analysis.py:1159-1164 +
+    semantic_analyzer._extract_context."""
+    ctx: dict[str, str] = {}
+    for _doc_id, text, _lang in docs:
+        sentences = re.split(r"[.!?]\s+", text)
+        for t in set(keyword_tokens(text)):
+            for s in sentences:
+                if t in s.lower():
+                    ctx[t] = min(ctx.get(t, s), s)
+                    break
+    return {
+        c["text"]: ctx[c["text"]][:200]
+        for c in concepts
+        if c["concept_type"] == "keyword" and c["text"] in ctx
+    }
+
+
+def golden_triples(docs, threshold=0.7, min_freq=2, max_concepts=100,
+                   created_at=None):
     """The full golden (subj, pred, obj) set (weights ignored for P/R).
 
-    docs: list of (doc_id, text, lang).
+    docs: list of (doc_id, text, lang). ``created_at``: the pinned
+    dct:created value (pass the same string as PipelineConfig).
     """
     triples = set()
     concepts = golden_concepts(docs, min_freq, max_concepts)
+    definitions = golden_definitions(docs, concepts)
     for c in concepts:
         cid = concept_id(c["text"])
         for d in c["docs"]:
@@ -210,6 +233,8 @@ def golden_triples(docs, threshold=0.7, min_freq=2, max_concepts=100):
         triples.add((cid, "pdf:conceptType", c["concept_type"]))
         triples.add((cid, "pdf:importanceScore", repr_float(c["importance"])))
         triples.add((cid, "pdf:frequency", str(c["frequency"])))
+        if c["text"] in definitions:
+            triples.add((cid, "skos:definition", definitions[c["text"]]))
     for (a, b), s in golden_similarities(docs, threshold).items():
         triples.add((str(a), "similar_to", str(b)))
     # entity-pair related_to (cross-type, mean importance > 0.5)
@@ -229,6 +254,9 @@ def golden_triples(docs, threshold=0.7, min_freq=2, max_concepts=100):
         triples.add((d, "pdf:sentimentLabel", label))
         triples.add((d, "pdf:sentimentScore", repr_float(score)))
         triples.add((d, "pdf:documentType", golden_doc_type(text)))
+        triples.add((d, "dc:title", d))
+        if created_at is not None:
+            triples.add((d, "dct:created", created_at))
     return triples
 
 

@@ -22,7 +22,8 @@ def _triple_set(df):
 
 def test_checkpoint_resume_identical(spark, small_corpus, tmp_path):
     ckpt = str(tmp_path / "ckpt")
-    cfg = PipelineConfig(similarity_strategy="exact")
+    cfg = PipelineConfig(similarity_strategy="exact",
+                     created_at="2026-01-01T00:00:00")
     res1 = run_pipeline_checkpointed(
         spark, small_corpus, ckpt, cfg, id_col="doc_id",
         text_col="content", lang_col="lang",
@@ -56,7 +57,9 @@ def test_checkpoint_resume_identical(spark, small_corpus, tmp_path):
 def test_sha256_invariant_across_checkpoint(spark, small_corpus, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     res = run_pipeline_checkpointed(
-        spark, small_corpus, ckpt, PipelineConfig(similarity_strategy="exact"),
+        spark, small_corpus, ckpt,
+        PipelineConfig(similarity_strategy="exact",
+                       created_at="2026-01-01T00:00:00"),
         id_col="doc_id", text_col="content", lang_col="lang",
     )
     src = res["source"]

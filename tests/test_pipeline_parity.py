@@ -26,9 +26,14 @@ def _normalize(triples):
     return out
 
 
+CREATED_AT = "2026-01-01T00:00:00"
+
+
 @pytest.fixture(scope="module")
 def pipeline_result(spark, small_corpus):
-    cfg = PipelineConfig(similarity_strategy="exact", canonicalize=True)
+    cfg = PipelineConfig(
+        similarity_strategy="exact", canonicalize=True, created_at=CREATED_AT
+    )
     return run_pipeline(
         spark, small_corpus, cfg, id_col="doc_id", text_col="content",
         lang_col="lang",
@@ -43,7 +48,7 @@ def test_triple_parity(spark, small_corpus, pipeline_result):
     docs = [
         (r["doc_id"], r["content"], r["lang"]) for r in small_corpus.collect()
     ]
-    expected = _normalize(golden_triples(docs))
+    expected = _normalize(golden_triples(docs, created_at=CREATED_AT))
     inter = got & expected
     precision = len(inter) / len(got)
     recall = len(inter) / len(expected)
@@ -55,6 +60,23 @@ def test_triple_parity(spark, small_corpus, pipeline_result):
         f"recall {recall:.4f}; sample missing: "
         f"{sorted(expected - got)[:5]}"
     )
+
+
+def test_k5_vocabulary_complete(pipeline_result):
+    """Every K5 predicate the reference RDF exporter emits
+    (exporters/data_analysis.py:1016-1196) appears in the triple set,
+    including dc:title, dct:created and skos:definition."""
+    preds = {
+        r["pred"]
+        for r in pipeline_result["triples"].select("pred").distinct().collect()
+    }
+    assert {
+        "contains", "similar_to",
+        "pdf:wordCount", "pdf:characterCount", "pdf:sentimentScore",
+        "pdf:sentimentLabel", "pdf:documentType", "dc:title", "dct:created",
+        "skos:prefLabel", "pdf:conceptType", "pdf:importanceScore",
+        "pdf:frequency", "skos:definition",
+    } <= preds, f"missing: {preds}"
 
 
 def test_sha256_invariant(spark, small_corpus, pipeline_result):

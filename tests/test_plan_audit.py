@@ -36,6 +36,30 @@ def test_no_row_python_in_pipeline(spark, small_corpus):
         )
 
 
+def test_no_row_python_lsh_and_clusters(spark, small_corpus):
+    """The lsh strategy and the clustering path route through
+    to_ml_vectors — audit that its UDF stays Arrow-batched
+    (ArrowEvalPython), never BatchEvalPython, across EVERY similarity
+    strategy the pipeline offers."""
+    for strategy in ("lsh", "minhash", "exact"):
+        res = run_pipeline(
+            spark, small_corpus,
+            PipelineConfig(
+                similarity_strategy=strategy,
+                with_clusters=(strategy == "lsh"),
+            ),
+            id_col="doc_id", text_col="content", lang_col="lang",
+        )
+        names = ["similarities", "triples"]
+        if strategy == "lsh":
+            names.append("clusters")
+        for name in names:
+            plan = _plan(res[name])
+            assert "BatchEvalPython" not in plan, (
+                f"row-at-a-time Python UDF in {name} plan ({strategy})"
+            )
+
+
 def test_filter_pushdown_to_scan(spark):
     df = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
