@@ -90,6 +90,18 @@ def main() -> None:
     )
     spark = get_spark("pke-bench", cpus=cpus, extra_conf=extra_conf)
     qs = entry_queries.get_queries()
+
+    # untimed warmup: one small scan+agg job to load JVM/codegen/
+    # parquet-reader classes. Measured: the first job of a fresh JVM
+    # pays ~5s of class loading regardless of query (tpch_q1 5.5s cold
+    # vs 0.75s warm); a real cluster amortizes this once per executor
+    # lifetime, not per query.
+    from pyspark.sql import functions as _F
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        _F.sum("l_quantity")
+    ).collect()
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
 
@@ -109,6 +121,38 @@ def main() -> None:
     n_triples = res["triples"].count()
     dt = time.perf_counter() - t0
     timings["kg_pipeline"] = round(dt, 3)
+
+    # similarity-strategy bench rows on the REALISTIC-vocabulary corpus
+    # (the driver documents table's 24-word vocabulary makes any
+    # similarity join O(n^2) by construction, so the quadratic-risk
+    # operators are measured here instead): reuse the pipeline's
+    # persisted tfidf so the rows time the pair joins themselves.
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+        prefix_cosine_pairs,
+    )
+
+    tfidf = res["tfidf"]
+    t0 = time.perf_counter()
+    minhash_blocked_cosine_pairs(tfidf, threshold=0.7).count()
+    timings["sim_minhash_corpus"] = round(time.perf_counter() - t0, 3)
+    # prefix filtering is EXACT but Σ prefix_df² — measured 225s on the
+    # full 50k corpus (the flat-weight content defeats the prefix
+    # bound; that is why minhash banding is the default scale path).
+    # Bench it on a 10k-doc slice so the row tracks regressions without
+    # dominating the suite.
+    prefix_docs = 10_000
+    sub = tfidf.join(
+        _F.broadcast(
+            corpus.select("doc_id").orderBy("doc_id").limit(prefix_docs)
+        ),
+        "doc_id",
+    )
+    t0 = time.perf_counter()
+    prefix_cosine_pairs(sub, threshold=0.7).count()
+    timings[f"sim_prefix_corpus_{prefix_docs // 1000}k"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     total = round(time.perf_counter() - t_total0, 3)
     print(

@@ -1398,7 +1398,14 @@ counts AS (
                AND (a.imp + b.imp) / 2.0 > 0.5)::BIGINT
     UNION ALL
     SELECT 'skos:definition',
-           (SELECT count(*) FROM top100 WHERE ctype = 'keyword')::BIGINT
+           (SELECT count(*) FROM top100 t
+            JOIN (SELECT text, ctype, min(doc_id) AS mdoc
+                  FROM m2 GROUP BY text, ctype) md
+              ON t.text = md.text AND t.ctype = md.ctype
+            JOIN documents d ON d.doc_id = md.mdoc
+            WHERE len(list_filter(
+                      regexp_split_to_array(d.text, '[.!?]\\s+'),
+                      s -> contains(lower(s), t.text))) > 0)::BIGINT
     UNION ALL
     SELECT p.pred, (SELECT count(*) FROM documents)::BIGINT
     FROM (VALUES ('pdf:wordCount'), ('pdf:characterCount'),

@@ -120,3 +120,44 @@ def chunk_text(col: Column, chunk_size: int = 1000, overlap: int = 100) -> Colum
     n = F.greatest(F.length(col), F.lit(1))
     starts = F.sequence(F.lit(0), n - 1, F.lit(step))
     return F.transform(starts, lambda s: F.substring(col, s + 1, chunk_size))
+
+
+def chunk_text_sentence_aligned(
+    col: Column, chunk_size: int = 1000, overlap: int = 100
+) -> Column:
+    """Exact reference chunking INCLUDING the sentence back-off
+    (processor.py:33-55): each window ending mid-text breaks at the
+    last '.' when it falls past 80% of the chunk, the chunk is
+    stripped, and the next window starts at end - overlap. Boundaries
+    are sequentially dependent per document, so this cannot be a fixed
+    window expression; it runs as an Arrow-batched pandas UDF
+    (ArrowEvalPython — one Python call per batch of docs, never
+    row-at-a-time BatchEvalPython). Prefer chunk_text (pure column
+    expressions) when fixed boundaries are acceptable."""
+    if chunk_size * 0.8 <= overlap:
+        raise ValueError("chunk_size * 0.8 must exceed overlap "
+                         "(back-off could step backwards)")
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _chunks(texts):
+        def split(text):
+            if not text:
+                return []
+            chunks = []
+            start = 0
+            while start < len(text):
+                end = start + chunk_size
+                chunk = text[start:end]
+                if end < len(text):
+                    last_period = chunk.rfind(".")
+                    if last_period > chunk_size * 0.8:
+                        end = start + last_period + 1
+                        chunk = text[start:end]
+                chunks.append(chunk.strip())
+                start = end - overlap
+            return chunks
+
+        return texts.map(split)
+
+    return _chunks(col)

@@ -153,30 +153,50 @@ def minhash_lsh_pairs(
     ``bands`` bands of K/bands rows; docs sharing any band hash become
     candidates; candidates verified with EXACT Jaccard over shingle
     sets. Precision exact; recall = 1-(1-t^r)^b (t=0.8, r=4, b=16:
-    0.9997)."""
+    0.9997).
+
+    Shuffle budget: the per-doc shingle SET stays an array column —
+    signatures and band hashes are narrow array expressions over it
+    (the K-minhash signature is materialized behind a single-element
+    explode barrier first: interpreted HOF eval has no common-
+    subexpression elimination, so the 16 band hashes would otherwise
+    each recompute all 64 minhashes). Shuffles: the banding equi-join
+    on (band, band_hash) carrying ids only, then the exact-Jaccard
+    posting verify restricted to DOCS THAT SURVIVED BANDING — on a
+    mostly-unique corpus that is a tiny fraction of the posting list
+    the old plan exploded for the whole corpus."""
     rows_per_band = num_hashes // bands
-    posts = shingle_posting(docs, id_col, text_col, n).persist()
-    sigs = minhash_signatures(posts, num_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "band",
-        F.xxhash64(
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
+    ).persist()
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, k))
+        ),
+    )
+    # Generate barrier: materialize the signature once per doc
+    # (CollapseProject cannot merge across explode)
+    with_sig = sets.filter(F.size("_sh") > 0).select(
+        "doc_id", F.explode(F.array(sig)).alias("_sig")
+    )
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
             F.concat_ws(
                 "_",
                 F.transform(
-                    F.slice(
-                        F.col("sig"),
-                        F.col("band") * rows_per_band + 1,
-                        rows_per_band,
-                    ),
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
                     lambda x: x.cast("string"),
                 ),
             )
-        ).alias("band_hash"),
+        ),
+    )
+    banded = (
+        with_sig.select("doc_id", F.posexplode(band_hashes))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
     )
     b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
@@ -185,9 +205,19 @@ def minhash_lsh_pairs(
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
         .distinct()
+        .persist()
     )
-    # exact verify on candidates only
-    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # exact verify on candidates only: posting join over the shingle
+    # lists of candidate docs (map-side count agg bounds the shuffle
+    # by shared shingles, never full arrays per pair)
+    cand_docs = (
+        candidates.select(F.col("doc1_id").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc2_id").alias("doc_id")))
+        .distinct()
+    )
+    cand_sets = sets.join(cand_docs, "doc_id")
+    posts = cand_sets.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = cand_sets.select("doc_id", F.size("_sh").alias("sz"))
     a = posts.select(F.col("doc_id").alias("doc1_id"), "shingle")
     b = posts.select(F.col("doc_id").alias("doc2_id"), "shingle")
     inter = (

@@ -247,7 +247,13 @@ def minhash_blocked_cosine_pairs(
             F.transform(F.col("_terms"), lambda t: F.xxhash64(t, k))
         ),
     )
-    with_sig = term_sets.select("doc_id", sig.alias("sig"))
+    # Generate barrier: materialize the K-minhash signature once per
+    # doc — CollapseProject would otherwise inline it into each of the
+    # ``bands`` band hashes, and interpreted HOF eval has no common-
+    # subexpression elimination (bands x num_hashes recompute)
+    with_sig = term_sets.select(
+        "doc_id", F.explode(F.array(sig)).alias("sig")
+    )
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(

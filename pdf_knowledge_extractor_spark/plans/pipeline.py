@@ -288,11 +288,7 @@ def run_pipeline(
             enriched, extractor_hooks, id_col=id_col, text_col=text_col
         ):
             mentions = mentions.unionByName(extra_stream)
-    # context column only materializes where consumed (the definition
-    # aggregation); column pruning drops it from the tf-idf branch
-    kw_mentions = keyword_mentions(
-        enriched, id_col, text_col, with_context=cfg.with_definitions
-    )
+    kw_mentions = keyword_mentions(enriched, id_col, text_col)
 
     # N = corpus size (cheap column-pruned count; passing the scalar
     # avoids a broadcast subquery that would recompute the whole
@@ -392,7 +388,9 @@ def run_pipeline(
     ]
     if cfg.with_definitions:
         triple_parts.append(
-            T3.concept_definition_triples(concepts, kw_mentions)
+            T3.concept_definition_triples(
+                concepts, enriched, id_col=id_col, text_col=text_col
+            )
         )
 
     if cfg.with_clusters:

@@ -163,26 +163,44 @@ def concept_property_triples(concepts: DataFrame) -> DataFrame:
 
 
 def concept_definition_triples(
-    concepts: DataFrame, mentions_with_context: DataFrame
+    concepts: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """skos:definition per concept: the first context sentence,
-    truncated to 200 chars (exporters/data_analysis.py:1159-1164;
-    context extraction mirrors _extract_context,
-    semantic_analyzer.py:703-711).
+    """skos:definition per concept: ONE context sentence, truncated to
+    200 chars (exporters/data_analysis.py:1159-1164; extraction
+    mirrors _extract_context, semantic_analyzer.py:703-711 — first
+    sentence whose lowercase form contains the concept text).
 
-    "First" is made deterministic as the MIN context string over the
-    concept's mentions (the reference's "first" depends on dict
-    iteration order). The join is on the lowered mention text — for
-    alias-canonicalized concepts this takes the canonical variant's
-    own contexts, a documented narrowing vs pooling every alias's
-    contexts."""
-    ctx = (
-        mentions_with_context.filter(F.col("context").isNotNull())
-        .groupBy(F.lower(F.col("text")).alias("text"))
-        .agg(F.min("context").alias("_def"))
+    The reference stores whichever doc's context it encountered first
+    (dict order); this engine makes that deterministic AND scale-free:
+    the context comes from the concept's MINIMUM document id
+    (document_ids is kept sorted by the aggregation), so only
+    |concepts| rows join against the doc table — the concept side
+    broadcasts, the doc scan prunes to two columns, and no per-mention
+    context computation exists anywhere in the plan."""
+    tgt = concepts.select(
+        F.col("text"),
+        F.element_at("document_ids", 1).alias("_mdoc"),
+    )
+    joined = F.broadcast(tgt).join(
+        docs.select(
+            F.col(id_col).alias("_mdoc"), F.col(text_col).alias("_doctext")
+        ),
+        "_mdoc",
+    )
+    sents = F.split(F.col("_doctext"), r"[.!?]\s+")
+    # try_element_at: the filter is legitimately empty for phrase
+    # concepts whose tokens are non-adjacent in the raw text (ANSI
+    # element_at would throw)
+    ctx = F.try_element_at(
+        F.filter(sents, lambda s: F.contains(F.lower(s), F.col("text"))),
+        F.lit(1),
     )
     out = (
-        concepts.join(ctx, "text")
+        joined.select("text", ctx.alias("_def"))
+        .filter(F.col("_def").isNotNull())
         .select(
             concept_id(F.col("text")).alias("subj"),
             F.lit("skos:definition").alias("pred"),

@@ -196,23 +196,22 @@ def golden_doc_type(text: str):
 
 
 def golden_definitions(docs, concepts):
-    """skos:definition per keyword concept: min over docs of the first
-    sentence containing the token (split on [.!?]\\s+), truncated to
-    200 chars — restating exporters/data_analysis.py:1159-1164 +
-    semantic_analyzer._extract_context."""
-    ctx: dict[str, str] = {}
-    for _doc_id, text, _lang in docs:
-        sentences = re.split(r"[.!?]\s+", text)
-        for t in set(keyword_tokens(text)):
-            for s in sentences:
-                if t in s.lower():
-                    ctx[t] = min(ctx.get(t, s), s)
-                    break
-    return {
-        c["text"]: ctx[c["text"]][:200]
-        for c in concepts
-        if c["concept_type"] == "keyword" and c["text"] in ctx
-    }
+    """skos:definition per concept: the first sentence (split on
+    [.!?]\\s+) of the concept's MINIMUM document id whose lowercase
+    form contains the concept text, truncated to 200 chars — restating
+    exporters/data_analysis.py:1159-1164 +
+    semantic_analyzer._extract_context with the engine's deterministic
+    choice of doc (the reference takes dict-order-first)."""
+    text_by_id = {d: t for d, t, _l in docs}
+    out = {}
+    for c in concepts:
+        mdoc = min(c["docs"])
+        sentences = re.split(r"[.!?]\s+", text_by_id[mdoc])
+        for s in sentences:
+            if c["text"] in s.lower():
+                out[c["text"]] = s[:200]
+                break
+    return out
 
 
 def golden_triples(docs, threshold=0.7, min_freq=2, max_concepts=100,

@@ -74,3 +74,38 @@ def test_cc_canonical_merge_equivalent_on_disjoint_groups(spark, small_corpus):
     kb = {(r["text"], r["concept_type"]): r["frequency"] for r in b.collect()}
     # single mention type -> per-type and pooled grouping coincide
     assert ka == kb
+
+
+def test_twophase_matches_label_propagation(spark):
+    """Large-star/small-star (Kiveris SoCC'14) must produce the same
+    partition AND the same min-id labels as plain min-label
+    propagation — checked on a long chain (the shape that defeats
+    O(diameter) propagation), a star, a cycle, and a random graph."""
+    import random
+
+    from pdf_knowledge_extractor_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    rng = random.Random(7)
+    cases = {
+        "chain": [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(12)],
+        "star": [("h", f"s{i}") for i in range(8)],
+        "cycle": [(f"c{i}", f"c{(i + 1) % 7}") for i in range(7)],
+        "random": [
+            (f"r{rng.randrange(24):02d}", f"r{rng.randrange(24):02d}")
+            for _ in range(36)
+        ],
+    }
+    for name, pairs in cases.items():
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        base = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, max_iterations=30).collect()
+        }
+        two = {
+            r["node"]: r["component"]
+            for r in connected_components_twophase(edges).collect()
+        }
+        assert two == base, f"{name}: {two} != {base}"

@@ -141,3 +141,53 @@ def test_nfkc_clean(spark):
     assert rows[1] == "abc"
     assert rows[2] == "abcdefghij" * 2
     assert rows[3] is None
+
+
+def test_chunk_sentence_backoff(spark):
+    """Reference parity for split_into_chunks (processor.py:33-55):
+    break at the last '.' past 80% of the window, strip, step by
+    end - overlap."""
+    from pdf_knowledge_extractor_spark.functions.text import (
+        chunk_text,
+        chunk_text_sentence_aligned,
+    )
+
+    # '.' at position 17 of a 20-char window (> 0.8*20=16) -> back-off
+    text = "aaaa bbbb cccc dd. eeee ffff gggg hhhh iiii."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = df.select(
+        chunk_text_sentence_aligned(F.col("text"), 20, 5).alias("c")
+    ).first()["c"]
+
+    def golden(t, size, ov):
+        if not t:
+            return []
+        out, start = [], 0
+        while start < len(t):
+            end = start + size
+            chunk = t[start:end]
+            if end < len(t):
+                lp = chunk.rfind(".")
+                if lp > size * 0.8:
+                    end = start + lp + 1
+                    chunk = t[start:end]
+            out.append(chunk.strip())
+            start = end - ov
+        return out
+
+    assert rows == golden(text, 20, 5)
+    assert any(c.endswith(".") for c in rows[:-1])  # back-off fired
+
+    # no '.' in range -> degenerates to the fixed-window chunker
+    plain = "x" * 95
+    df2 = spark.createDataFrame([(1, plain)], "doc_id long, text string")
+    aligned = df2.select(
+        chunk_text_sentence_aligned(F.col("text"), 30, 10).alias("c")
+    ).first()["c"]
+    fixed = df2.select(chunk_text(F.col("text"), 30, 10).alias("c")).first()["c"]
+    assert aligned == fixed
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_text_sentence_aligned(F.col("text"), 100, 90)
