@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scaling evidence on SEPARATE executor JVMs (local-cluster mode).
+
+`local[K]` puts all executor threads in ONE JVM — they share a heap,
+an allocator and a GC, which a real `spark-submit` deployment does
+not (BASELINE.json contemplates N executors -> 4N executors, each its
+own JVM). Spark's local-cluster[N, cores, mem] test master launches N
+genuine executor processes, so this harness is the faithful sandbox
+proxy for the two-cluster-size criterion:
+
+    python bench_scaling_cluster.py --run 2     # N  = 2 executors x 1 core
+    python bench_scaling_cluster.py --run 8     # 4N = 8 executors x 1 core
+    python bench_scaling_cluster.py             # both + efficiency report
+
+Per-executor memory is constant across levels (scale out, not up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROWS = int(os.environ.get("PKE_SCALE_ROWS", "300000"))
+EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
+LEVELS = (
+    int(os.environ.get("PKE_SCALE_N", "2")),
+    int(os.environ.get("PKE_SCALE_4N", "8")),
+)
+
+
+def measured_run(n_exec: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_knowledge_extractor_spark.corpus import generate_corpus
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    spark = (
+        SparkSession.builder
+        .master(f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]")
+        .appName(f"scale-cluster-{n_exec}")
+        .config("spark.sql.shuffle.partitions", str(max(n_exec, 4)))
+        .config("spark.default.parallelism", str(n_exec))
+        # AQE off for the measurement: fixed plan across levels
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up outside the window: executor JVM launch, codegen, Arrow
+    generate_corpus(spark, 2000).count()
+
+    t0 = time.perf_counter()
+    corpus = generate_corpus(spark, ROWS)
+    res = run_pipeline(
+        spark, corpus, PipelineConfig(similarity_strategy="minhash"),
+        id_col="doc_id", text_col="content", lang_col="lang",
+    )
+    n_triples = res["triples"].count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "executors": n_exec,
+        "rows": ROWS,
+        "triples": n_triples,
+        "seconds": round(dt, 2),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print(json.dumps(measured_run(int(sys.argv[2]))))
+        return
+
+    results = {}
+    for n in LEVELS:
+        out = subprocess.run(
+            [sys.executable, __file__, "--run", str(n)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(results[n], flush=True)
+
+    n_lo, n_hi = LEVELS
+    lo, hi = results[n_lo], results[n_hi]
+    factor = n_hi / n_lo
+    efficiency = round((lo["seconds"] / hi["seconds"]) / factor, 3)
+    print(json.dumps({"efficiency": efficiency, "lo": lo, "hi": hi}))
+
+
+if __name__ == "__main__":
+    main()
