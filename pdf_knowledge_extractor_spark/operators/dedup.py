@@ -148,6 +148,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash banding dedup: K=num_hashes minhashes split into
     ``bands`` bands of K/bands rows; docs sharing any band hash become
@@ -164,7 +165,17 @@ def minhash_lsh_pairs(
     on (band, band_hash) carrying ids only, then the exact-Jaccard
     posting verify restricted to DOCS THAT SURVIVED BANDING — on a
     mostly-unique corpus that is a tiny fraction of the posting list
-    the old plan exploded for the whole corpus."""
+    the old plan exploded for the whole corpus.
+
+    ``max_bucket_size``: the quadratic failure mode of banding is a
+    DEGENERATE bucket — a band hash shared by thousands of docs
+    (boilerplate shingles, tiny vocabularies) contributes |bucket|²
+    candidate pairs. The cap drops buckets larger than the limit
+    before the self-join (the standard production guard: members of a
+    huge bucket are near-identical boilerplate better handled by the
+    exact-fingerprint dedup path). None (default) keeps recall
+    guarantees for the oracle gate; set a few hundred at 100-TB
+    scale."""
     rows_per_band = num_hashes // bands
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -198,6 +209,16 @@ def minhash_lsh_pairs(
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
+    if max_bucket_size is not None:
+        hot_buckets = (
+            banded.groupBy("band", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
+        )
     b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
     candidates = (

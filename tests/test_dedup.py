@@ -82,3 +82,32 @@ def test_simhash_finds_near_dups(spark, small_corpus):
     assert exact
     found = len(pairs & exact) / len(exact)
     assert found >= 0.9, f"simhash found only {found:.2f} of strong near-dups"
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket_size drops degenerate band buckets (the |bucket|^2
+    candidate blowup guard) without touching normal pairs."""
+    import pyspark.sql.functions as F
+
+    from pdf_knowledge_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    # 20 identical boilerplate docs (one degenerate bucket) + 2
+    # distinct near-dup docs
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    rows += [
+        (100, "red green blue cyan magenta yellow black white"),
+        (101, "red green blue cyan magenta yellow black gray"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    n_unc = uncapped.count()
+    assert n_unc >= 20 * 19 // 2 + 1  # boilerplate clique + the dup pair
+    got = {(r["doc1_id"], r["doc2_id"]) for r in capped.collect()}
+    # the boilerplate clique's buckets (20 members) were dropped;
+    # the small near-dup pair survives
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), got
