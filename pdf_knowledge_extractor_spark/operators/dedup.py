@@ -328,6 +328,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     bands: int | None = None,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via the
     pigeonhole band trick: split 64 bits into ``bands`` equal blocks —
@@ -339,7 +340,15 @@ def simhash_near_dup_pairs(
     than ``max_hamming`` so the pigeonhole guarantee holds (recall is
     EXACTLY 1.0 — the output is the complete hamming ball, which is
     what the DuckDB oracle checks); pass a smaller value to trade
-    recall for fewer candidates at scale."""
+    recall for fewer candidates at scale.
+
+    Scale note: block width 64/bands bounds the bucket key space at
+    2^(64/bands) — d=8 forces 16 four-bit blocks (16 values each), so
+    buckets hold ~n/16 docs and the self-join squares them. At 100-TB
+    scale use the production setting d<=3 with 4 sixteen-bit blocks
+    (Manku et al., WWW'07) and/or ``max_bucket_size`` to drop
+    degenerate buckets (boilerplate clusters belong to the
+    exact-fingerprint path)."""
     if bands is None:
         bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
     sigs = simhash_signatures(docs, id_col, text_col, hash_fn).persist()
@@ -359,6 +368,14 @@ def simhash_near_dup_pairs(
             f"END) & {(1 << block_bits) - 1}"
         ),
     )
+    if max_bucket_size is not None:
+        hot = (
+            blocks.groupBy("blk", "blk_val")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("blk", "blk_val")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["blk", "blk_val"], "left_anti")
     c1 = blocks.select(
         F.col("doc_id").alias("doc1_id"), "blk", "blk_val",
         F.col("sh_lo").alias("lo1"), F.col("sh_hi").alias("hi1"),
