@@ -145,19 +145,32 @@ def canonical_merge(
         with_canon = concepts.withColumn(
             "canonical", F.min("text").over(w)
         )
+    merge_aggs = [
+        F.sum("frequency").alias("frequency"),
+        (
+            F.sum(F.col("importance") * F.col("frequency"))
+            / F.sum("frequency")
+        ).alias("importance"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("document_ids")))
+        ).alias("document_ids"),
+    ]
+    if "context_sentences" in concepts.columns:
+        # keep the reference's 5-per-concept cap across merged variants
+        # (semantic_analyzer.py:442)
+        merge_aggs.append(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("context_sentences")))
+                ),
+                1,
+                5,
+            ).alias("context_sentences")
+        )
     merged = (
         with_canon
         .groupBy(F.col("canonical").alias("text"), "concept_type")
-        .agg(
-            F.sum("frequency").alias("frequency"),
-            (
-                F.sum(F.col("importance") * F.col("frequency"))
-                / F.sum("frequency")
-            ).alias("importance"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("document_ids")))
-            ).alias("document_ids"),
-        )
+        .agg(*merge_aggs)
         .withColumn("n_documents", F.size("document_ids"))
     )
     if min_frequency and min_frequency > 1:

@@ -117,28 +117,37 @@ def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
     dropped) rather than the lookbehind form — RE2 engines (DuckDB's
     regexp_split_to_array, used by the oracle) cannot express
     lookbehind, and mention tokens never contain punctuation so the
-    containment test is unaffected.
+    containment test is unaffected. The sentence split runs in the
+    projection BELOW the token explode (once per document), so per
+    mention only the array-filter containment test runs — never a
+    re-split of the full text per mention row.
     """
-    out = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_text"),
-            F.explode(keyword_tokens_nostop(F.col(text_col))).alias("text"),
+    pre_cols = [
+        F.col(id_col).alias("doc_id"),
+        F.explode(keyword_tokens_nostop(F.col(text_col))).alias("text"),
+    ]
+    if with_context:
+        pre_cols.insert(
+            1, F.split(F.col(text_col), r"[.!?]\s+").alias("_sents")
         )
+    out = (
+        docs.select(*pre_cols)
         .withColumn("concept_type", F.lit("keyword"))
         .withColumn("importance", F.lit(0.5))
     )
     if with_context:
-        sentences = F.split(F.col("_text"), r"[.!?]\s+")
+        # every keyword token comes from the same text the sentences
+        # partition and contains no punctuation/whitespace, so the
+        # filter is never empty (element_at(…, 1) is ANSI-safe here)
         ctx = F.element_at(
             F.filter(
-                sentences,
+                F.col("_sents"),
                 lambda s: F.contains(F.lower(s), F.col("text")),
             ),
             1,
         )
-        out = out.withColumn("context", ctx)
-    return out.drop("_text")
+        out = out.withColumn("context", ctx).drop("_sents")
+    return out
 
 
 def phrase_mentions(docs: DataFrame, id_col: str = "doc_id",
@@ -173,14 +182,26 @@ def entity_mentions(docs: DataFrame, id_col: str = "doc_id",
 
 def all_mentions(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
-                 lang_col: str | None = None) -> DataFrame:
-    """Union of the mention streams (semantic_analyzer.py:399-406)."""
+                 lang_col: str | None = None,
+                 with_context: bool = False) -> DataFrame:
+    """Union of the mention streams (semantic_analyzer.py:399-406).
+
+    ``with_context`` carries the keyword stream's context sentence
+    (phrase/entity mentions ship a null context — the reference only
+    extracts context for keyword concepts' ExtractedConcept records,
+    semantic_analyzer.py:434-442)."""
     parts = [
-        keyword_mentions(docs, id_col, text_col),
+        keyword_mentions(docs, id_col, text_col, with_context=with_context),
         phrase_mentions(docs, id_col, text_col),
     ]
     if lang_col is not None and lang_col in docs.columns:
         parts.append(entity_mentions(docs, id_col, text_col, lang_col))
+    if with_context:
+        parts = [
+            p if "context" in p.columns
+            else p.withColumn("context", F.lit(None).cast("string"))
+            for p in parts
+        ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

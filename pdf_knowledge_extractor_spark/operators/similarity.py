@@ -217,6 +217,7 @@ def minhash_blocked_cosine_pairs(
     threshold: float = DEFAULT_THRESHOLD,
     num_hashes: int = 60,
     bands: int = 12,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
@@ -233,6 +234,19 @@ def minhash_blocked_cosine_pairs(
     term-set Jaccard can be missed); tests validate recall >= 0.95 on
     the near-duplicate-structured corpus. Precision is exact (every
     emitted score is the true cosine).
+
+    ``max_bucket_size``: the quadratic failure mode of banding is a
+    DEGENERATE bucket — one (band, band_hash) shared by thousands of
+    docs (boilerplate, tiny vocabularies) contributes |bucket|²
+    candidate pairs; measured superlinear at 600k rows on a 500-word
+    vocabulary before the cap existed. Buckets above the limit are
+    dropped with a broadcast left-anti join BEFORE the self-join (the
+    same guard as dedup.minhash_lsh_pairs) — their members are
+    near-identical boilerplate better handled by exact-fingerprint
+    dedup, and each doc still has ``bands - 1`` other chances to
+    collide with its true near-duplicates. None keeps full banding
+    recall (the oracle-parity setting); the pipeline default caps at a
+    few hundred (PipelineConfig.similarity_max_bucket).
     """
     rows_per_band = num_hashes // bands
     # one groupBy(doc) to gather the term set; signatures and band
@@ -271,6 +285,20 @@ def minhash_blocked_cosine_pairs(
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
+    if max_bucket_size is not None:
+        # persist the banded rows (3 narrow columns) so the bucket
+        # census and the anti-join probe don't each recompute the
+        # signature HOFs — the expensive subtree of this operator
+        banded = banded.persist()
+        hot_buckets = (
+            banded.groupBy("band", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
+        )
     b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
     candidates = (

@@ -112,11 +112,15 @@ def jsonld_concept_objects(concepts: DataFrame) -> DataFrame:
         ).alias("pdf:appearsIn"),
     ]
     if has_ctx:
+        # try_element_at: phrase/entity concepts legitimately carry an
+        # empty context list (only keyword mentions extract context);
+        # the null description is then dropped by to_json, mirroring
+        # the reference's conditional add (data_analysis.py:943-944)
         fields.insert(
             8,
-            F.substring(F.element_at("context_sentences", 1), 1, 200).alias(
-                "description"
-            ),
+            F.substring(
+                F.try_element_at("context_sentences", F.lit(1)), 1, 200
+            ).alias("description"),
         )
     return concepts.select(F.to_json(F.struct(*fields)).alias("jsonld"))
 

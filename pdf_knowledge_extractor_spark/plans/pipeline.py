@@ -82,6 +82,12 @@ class PipelineConfig:
     #              recall approximate but >= 0.95 on near-dup corpora)
     #  "lsh"     — BucketedRandomProjection blocking + exact rescore
     similarity_strategy: str = "minhash"
+    # degenerate-bucket cap for the minhash blocker: a (band, band_hash)
+    # bucket larger than this is dropped before the candidate self-join
+    # (|bucket|² pairs otherwise — the measured superlinear blowup at
+    # 600k rows). Members of huge buckets are boilerplate handled by
+    # exact dedup; None disables (full banding recall, oracle setting).
+    similarity_max_bucket: int | None = 400
     lsh_hash_tables: int = 4
     lsh_dims: int = 1 << 12         # hashed term space for blocking only
                                     # (rescoring is exact; raise to 2^16+
@@ -93,6 +99,11 @@ class PipelineConfig:
     # skos:definition triples from mention context sentences
     # (exporters/data_analysis.py:1159-1164)
     with_definitions: bool = True
+    # populate concept.context_sentences (<=5 per concept, reference
+    # semantic_analyzer.py:442) from the keyword mention stream; feeds
+    # the concepts relation + JSON-LD description. Off the similarity
+    # hot path (tfidf is built from a separate context-free stream).
+    with_context: bool = True
     # dct:created timestamp; None = now() like the reference exporter
     # (data_analysis.py:1135-1137) — pin it for reproducible output
     created_at: str | None = None
@@ -279,6 +290,7 @@ def run_pipeline(
     mentions = all_mentions(
         enriched, id_col=id_col, text_col=text_col,
         lang_col=lang_col if cfg.with_entities else None,
+        with_context=cfg.with_context,
     )
     extractor_hooks = cfg.extra.get("feature_extractors") or []
     if extractor_hooks:
@@ -287,7 +299,11 @@ def run_pipeline(
         for extra_stream in detector_mentions(
             enriched, extractor_hooks, id_col=id_col, text_col=text_col
         ):
-            mentions = mentions.unionByName(extra_stream)
+            # hook streams ship no context column; null-fill when the
+            # keyword stream carries one
+            mentions = mentions.unionByName(
+                extra_stream, allowMissingColumns=True
+            )
     kw_mentions = keyword_mentions(enriched, id_col, text_col)
 
     # N = corpus size (cheap column-pruned count; passing the scalar
@@ -331,7 +347,9 @@ def run_pipeline(
         pairs = prefix_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     elif cfg.similarity_strategy == "minhash":
         pairs = minhash_blocked_cosine_pairs(
-            tfidf, threshold=cfg.similarity_threshold
+            tfidf,
+            threshold=cfg.similarity_threshold,
+            max_bucket_size=cfg.similarity_max_bucket,
         )
     else:
         pairs = exact_cosine_pairs(

@@ -53,6 +53,79 @@ def test_prefix_equals_exact(spark, small_corpus):
         assert abs(exact[k] - pref[k]) < 1e-9
 
 
+def test_minhash_bucket_cap_drops_boilerplate_keeps_neardups(spark):
+    """The degenerate-bucket guard (PipelineConfig.similarity_max_bucket):
+    a boilerplate cluster whose band buckets exceed the cap contributes
+    ZERO candidate pairs, while small near-dup buckets are untouched —
+    and with the cap off the operator still finds everything (the
+    oracle-parity setting)."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    rows = []
+    # 20 identical boilerplate docs -> identical signatures -> one
+    # bucket of 20 in every band
+    for i in range(20):
+        rows.append((f"b{i:02d}", "standard header footer legal notice "
+                                  "copyright reserved trademark"))
+    # one engineered near-dup pair (bucket size 2)
+    rows.append(("n1", "gradient descent converges under convex losses "
+                       "with bounded curvature assumptions"))
+    rows.append(("n2", "gradient descent converges under convex losses "
+                       "with bounded curvature conditions"))
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    tfidf = _tfidf(docs)
+
+    capped = _pairs_dict(
+        minhash_blocked_cosine_pairs(tfidf, 0.5, max_bucket_size=10)
+    )
+    uncapped = _pairs_dict(minhash_blocked_cosine_pairs(tfidf, 0.5))
+    assert ("n1", "n2") in capped, "small near-dup bucket must survive"
+    assert not any(
+        a.startswith("b") or b.startswith("b") for a, b in capped
+    ), "boilerplate bucket above the cap must be dropped"
+    assert ("n1", "n2") in uncapped
+    assert ("b00", "b01") in uncapped, "cap off keeps full recall"
+
+
+def test_pipeline_concepts_carry_context(spark, small_corpus):
+    """Flagship default (with_context=True): the concepts relation
+    carries <=5 context sentences per keyword concept and the JSON-LD
+    description field renders from them (VERDICT r2 item 3)."""
+    from pdf_knowledge_extractor_spark.plans.exports import (
+        jsonld_concept_objects,
+    )
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    # max_concepts raised: the default top-100 cut ranks by importance
+    # where phrases (0.6) / entities (0.7-0.8) outrank keywords (0.5),
+    # and only keyword mentions carry context by reference semantics
+    res = run_pipeline(
+        spark, small_corpus,
+        PipelineConfig(similarity_strategy="exact", max_concepts=3000),
+        id_col="doc_id", text_col="content", lang_col="lang",
+    )
+    concepts = res["concepts"]
+    assert "context_sentences" in concepts.columns
+    kw = concepts.filter(
+        (F.col("concept_type") == "keyword")
+        & (F.size("context_sentences") > 0)
+    )
+    rows = kw.limit(20).collect()
+    assert rows, "keyword concepts must carry context sentences"
+    for r in rows:
+        assert 1 <= len(r["context_sentences"]) <= 5
+        assert any(
+            r["text"] in s.lower() for s in r["context_sentences"]
+        ), f"context must contain the concept text: {r['text']}"
+    jl = jsonld_concept_objects(concepts).collect()
+    assert any('"description":' in r["jsonld"] for r in jl)
+
+
 def test_lsh_recall(spark, small_corpus):
     tfidf = _tfidf(small_corpus)
     exact = _pairs_dict(exact_cosine_pairs(tfidf, 0.7))
