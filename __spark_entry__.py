@@ -7,9 +7,14 @@ ops (round 2): minhash dedup is checked against the exact-Jaccard
 ground truth, simhash + hyperplane-LSH + multi-probe IVF are
 re-derived in SQL from md5-based hashes, connected components against
 a recursive-CTE fixpoint, KMeans against its partition invariant, and
-the full pipeline against composed per-predicate count CTEs. The one
-remaining rows-only query is kmeans_summaries (cluster memberships
-are not SQL-derivable; its invariant is oracle-gated separately).
+the full pipeline against composed per-predicate count CTEs. Round 3
+adds cluster_summaries_fixed (the label/centroid/topic derivation
+behind kmeans_summaries, hash-matched under deterministic
+assignments) and ann_ivf_kmeans_topk (the KMeans-shaped IVF with a
+pinned quantizer). The one remaining rows-only query is
+kmeans_summaries (cluster memberships are not SQL-derivable; its
+partition invariant and its summary logic are oracle-gated
+separately).
 """
 
 from __future__ import annotations

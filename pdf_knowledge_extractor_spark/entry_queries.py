@@ -1682,7 +1682,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-parity sign bits, each query probes its 4 Hamming-closest
     lists. Fully re-derived by the SQL oracle — lists, probe order,
     rescoring and top-5 all hash-match. The KMeans-quantizer IVF
-    (ann.ivf_topk) keeps its pytest recall gate (test_ann)."""
+    (ann.ivf_topk) is gated separately via ann_ivf_kmeans_topk (pinned
+    quantizer) plus its pytest recall gate (test_ann)."""
     from pdf_knowledge_extractor_spark.operators.ann import ivf_multiprobe_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1731,4 +1732,169 @@ def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("running_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — cluster-summary derivation with FIXED assignments (round-3: the
+# label/centroid/topics SQL in clustering.cluster_summaries is pure
+# window/agg logic even though KMeans memberships are not SQL-derivable,
+# so feed it deterministic rule-based assignments and hash-match it)
+# ---------------------------------------------------------------------------
+@_register(
+    "cluster_summaries_fixed",
+    f"""
+WITH {_SQL_TFIDF.lstrip()},
+assign AS (
+    SELECT DISTINCT doc_id, (doc_id % 5)::INT AS cluster_id FROM tfidf
+),
+term_means AS (
+    SELECT a.cluster_id, t.term, avg(t.weight) AS mean_w
+    FROM assign a JOIN tfidf t ON a.doc_id = t.doc_id
+    GROUP BY a.cluster_id, t.term
+),
+ranked AS (
+    SELECT cluster_id, term, mean_w,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY round(mean_w, 9) DESC, term ASC) AS rnk
+    FROM term_means
+),
+tops AS (
+    SELECT cluster_id,
+           list(term ORDER BY rnk) AS terms,
+           list(term || ':' || round(mean_w, 6)::DECIMAL(18, 6)::VARCHAR
+                ORDER BY rnk) AS centr
+    FROM ranked WHERE rnk <= 10
+    GROUP BY cluster_id
+),
+members AS (
+    SELECT cluster_id,
+           list_sort(list(DISTINCT doc_id::VARCHAR)) AS docs,
+           count(*)::BIGINT AS n_documents
+    FROM assign GROUP BY cluster_id
+)
+SELECT m.cluster_id,
+       array_to_string(
+           list_transform(t.terms[1:3],
+                          w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+           ' & ') AS cluster_label,
+       array_to_string(m.docs, '|') AS document_ids,
+       m.n_documents,
+       array_to_string(t.centr, '|') AS centroid_features,
+       array_to_string(t.terms[1:5], '|') AS main_topics
+FROM members m JOIN tops t USING (cluster_id)
+ORDER BY m.cluster_id
+""",
+)
+def q_cluster_summaries_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_summaries (clustering.py) fed deterministic assignments
+    (doc_id % 5 over the vectorizable universe): labels (initcap top-3
+    ' & '-joined), document_ids, centroid features (rank-ordered,
+    6dp-decimal-formatted) and main_topics all hash-match the DuckDB
+    re-derivation — the summary logic behind kmeans_summaries is fully
+    oracle-gated even though KMeans memberships themselves are not
+    SQL-derivable."""
+    from pdf_knowledge_extractor_spark.operators.clustering import (
+        cluster_summaries,
+    )
+
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count()).persist()
+    assignments = (
+        t.select("doc_id")
+        .distinct()
+        .select("doc_id", (F.col("doc_id") % 5).cast("int").alias("cluster_id"))
+    )
+    centroid_str = F.concat_ws(
+        "|",
+        F.transform(
+            F.map_entries("centroid_features"),
+            lambda e: F.concat_ws(
+                ":",
+                e["key"],
+                F.round(e["value"], 6).cast("decimal(18,6)").cast("string"),
+            ),
+        ),
+    )
+    return (
+        cluster_summaries(assignments, t)
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "cluster_label",
+            F.concat_ws("|", "document_ids").alias("document_ids"),
+            F.col("n_documents").cast("long").alias("n_documents"),
+            centroid_str.alias("centroid_features"),
+            F.concat_ws("|", "main_topics").alias("main_topics"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — KMeans-shaped IVF ANN with a pinned quantizer (round-3: gates
+# ann.ivf_topk, the euclidean-assignment variant; the hyperplane twin is
+# gated by ann_ivf_topk)
+# ---------------------------------------------------------------------------
+_SQL_IVF_KMEANS = f"""
+WITH cent AS (
+    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS list_id,
+           embedding::DOUBLE[] AS center
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_sum(list_transform(range(64), i ->
+                       (e.embedding[i + 1]::DOUBLE - c.center[i + 1])
+                       * (e.embedding[i + 1]::DOUBLE - c.center[i + 1]))) ASC,
+                   c.list_id ASC) AS r
+        FROM embeddings e, cent c
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT e.vec_id AS query_id, c.list_id
+    FROM embeddings e, cent c
+    QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.center) DESC,
+                 c.list_id ASC
+    ) <= 2
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS nbr_id
+    FROM probes p
+    JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+{_SQL_ANN_TOPK_TAIL.strip()}
+"""
+
+
+@_register("ann_ivf_kmeans_topk", _SQL_IVF_KMEANS)
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk (the KMeans-shaped IVF: euclidean argmin assignment to
+    inverted lists, cosine probe order, exact rescore) with the
+    quantizer pinned to the 8 lowest-id embeddings, so DuckDB
+    re-derives lists, probes, candidates and the top-5 exactly — no
+    pytest-only ANN tier remains."""
+    from pdf_knowledge_extractor_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cent_rows = emb.orderBy("vec_id").limit(8).collect()
+    centers_df = spark.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(cent_rows)],
+        "list_id int, center array<double>",
+    )
+    return ivf_topk(
+        emb, k=5, n_lists=8, n_probe=2, fixed_centroids=centers_df
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
     )

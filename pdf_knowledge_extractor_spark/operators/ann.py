@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the (small) result via an eager localCheckpoint,
+    then release the operator's internal caches — persisted
+    intermediates must outlive every job that computes the result, and
+    a lazy return would leak them across repeated operator calls in a
+    long-lived session (they are invisible to the caller)."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -161,10 +173,11 @@ def lsh_bucketed_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 9)), F.asc("nbr_id")
     )
-    return (
+    return _finalize(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", "cosine", "rank"),
+        sigs,
     )
 
 
@@ -242,10 +255,11 @@ def ivf_multiprobe_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 9)), F.asc("nbr_id")
     )
-    return (
+    return _finalize(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", "cosine", "rank"),
+        assigned,
     )
 
 
@@ -257,6 +271,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fixed_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans partitions the corpus into ``n_lists``
     inverted lists; each query probes its ``n_probe`` nearest
@@ -265,31 +280,62 @@ def ivf_topk(
     ~n_probe/n_lists of brute force. Spark-shaped: centroid assignment
     is an ML transform; the probe set is a small broadcast join on
     list id.
+
+    ``fixed_centroids`` (list_id int, center array<double>) swaps the
+    KMeans fit for a caller-pinned quantizer: assignment = argmin
+    squared euclidean distance (exactly what KMeans.transform does,
+    ties -> list_id asc), everything downstream identical. With
+    deterministic centroids the WHOLE operator — lists, probe order,
+    rescoring, top-k — is reproducible by the DuckDB SQL oracle, which
+    is how the driver contract gates this KMeans-shaped variant
+    (ann_ivf_kmeans_topk); the hyperplane twin (ivf_multiprobe_topk)
+    is gated the same way via md5 hyperplanes.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features"),
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
-                predictionCol="list_id")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vid", "vec", "list_id").persist()
-
-    # query -> its n_probe nearest centroids (centroids are tiny:
-    # compute distances via a literal array per centroid)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
     spark = embeddings.sparkSession
-    centers_df = spark.createDataFrame(
-        centers, "list_id int, center array<double>"
-    )
+    if fixed_centroids is not None:
+        centers_df = fixed_centroids
+        vecs0 = embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("center"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        aw = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("list_id"))
+        assigned = (
+            vecs0.crossJoin(F.broadcast(centers_df))
+            .withColumn("d2", d2)
+            .withColumn("r", F.row_number().over(aw))
+            .filter(F.col("r") == 1)
+            .select("vid", "vec", "list_id")
+            .persist()
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        km = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                    predictionCol="list_id")
+        model = km.fit(vecs)
+        assigned = model.transform(vecs).select("vid", "vec", "list_id").persist()
+
+        # query -> its n_probe nearest centroids (centroids are tiny:
+        # compute distances via a literal array per centroid)
+        centers = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        centers_df = spark.createDataFrame(
+            centers, "list_id int, center array<double>"
+        )
     q = assigned.select(F.col("vid").alias("query_id"),
                         F.col("vec").alias("q_vec"))
     probes = (
@@ -320,10 +366,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 9)), F.asc("nbr_id")
     )
-    return (
+    return _finalize(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", "cosine", "rank"),
+        assigned,
     )
 
 

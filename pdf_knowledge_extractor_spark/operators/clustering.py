@@ -86,7 +86,12 @@ def cluster_summaries(
     term_means = joined.groupBy("cluster_id", "term").agg(
         F.avg("weight").alias("mean_w")
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("mean_w"), F.asc("term"))
+    # rank on round(mean_w, 9): averaged doubles differ in the last ulp
+    # between summation trees/engines, which must not reorder the top-k
+    # (the concepts-agg convention; makes the derivation oracle-checkable)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.round("mean_w", 9)), F.asc("term")
+    )
     top = (
         term_means.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_terms)

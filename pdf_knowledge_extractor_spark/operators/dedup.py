@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_knowledge_extractor_spark.functions.text import clean_text
+from pdf_knowledge_extractor_spark.operators.ann import _finalize
 
 
 def normalized_text(col):
@@ -249,7 +250,7 @@ def minhash_lsh_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("sz").alias("sz2"))
-    return (
+    return _finalize(
         inter.join(s1, "doc1_id")
         .join(s2, "doc2_id")
         .withColumn(
@@ -257,7 +258,9 @@ def minhash_lsh_pairs(
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc1_id", "doc2_id", "jaccard")
+        .select("doc1_id", "doc2_id", "jaccard"),
+        sets,
+        candidates,
     )
 
 
@@ -393,8 +396,9 @@ def simhash_near_dup_pairs(
     hamming = F.bit_count(
         F.col("lo1").bitwiseXOR(F.col("lo2"))
     ) + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
-    return (
+    return _finalize(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc1_id", "doc2_id", "hamming")
+        .select("doc1_id", "doc2_id", "hamming"),
+        sigs,
     )
