@@ -31,9 +31,13 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     checkpoint_every: int = 3,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
     """-> (node, component) where component = min node id in the
-    component (string min)."""
+    component (string min). With ``return_stats``, also returns
+    {"iterations": n, "converged": bool} — convergence in
+    O(graph diameter) rounds; unconverged callers should escalate to
+    connected_components_twophase (O(log² n) rounds)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -46,7 +50,10 @@ def connected_components(
     )
     sym = sym.persist()
     labels = labels.persist()
+    converged = False
+    iterations = 0
     for i in range(max_iterations):
+        iterations = i + 1
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(sym["a"].alias("node"))
@@ -74,8 +81,11 @@ def connected_components(
         labels = new_labels.persist()
         old.unpersist()
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if return_stats:
+        return labels, {"iterations": iterations, "converged": converged}
     return labels
 
 
@@ -85,7 +95,8 @@ def connected_components_twophase(
     dst: str = "dst",
     max_iterations: int = 20,
     checkpoint_every: int = 2,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
     """Alternating large-star / small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14 — public algorithm). Same output contract as
@@ -102,8 +113,21 @@ def connected_components_twophase(
     neighbor to min(N(u) ∪ {u}).
     small-star: connect every neighbor <= u (and u) to the minimum.
     Fixpoint when the edge multiset stops changing; the surviving
-    (node -> root) edges ARE the component mapping.
+    (node -> root) edges ARE the component mapping. Nodes whose only
+    edges are self-loops are labeled as singletons (component = node),
+    matching connected_components' output contract. With
+    ``return_stats``, also returns {"iterations": n, "converged": bool}
+    counting large+small star rounds.
     """
+    # every endpoint, INCLUDING nodes that only appear in self-loops —
+    # the star iteration drops self-loops, so these get singleton
+    # labels re-attached at the end (connected_components keeps them
+    # via its symmetric edge set; same contract here)
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     # canonical symmetric edge list (a, b), no self loops
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -143,7 +167,10 @@ def connected_components_twophase(
             .distinct()
         )
 
+    converged = False
+    iterations = 0
     for i in range(max_iterations):
+        iterations = i + 1
         nxt = star(star(e, large=True), large=False)
         if (i + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint()
@@ -155,26 +182,53 @@ def connected_components_twophase(
         e.unpersist()
         e, e_count = nxt, nxt_count
         if unchanged:
+            converged = True
             break
     # at the fixpoint the edge set is a union of stars rooted at each
-    # component's minimum node: label = min neighbor (root keeps itself)
-    labels = e.groupBy(F.col("a").alias("node")).agg(
+    # component's minimum node: label = min neighbor (root keeps
+    # itself); edge-less nodes (self-loop-only) become singletons
+    star_labels = e.groupBy(F.col("a").alias("node")).agg(
         F.least(F.min("b"), F.first("a")).alias("component")
     )
+    labels = (
+        all_nodes.join(star_labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+    if return_stats:
+        return labels, {"iterations": iterations, "converged": converged}
     return labels
 
 
 def cc_alias_canonical(
-    texts: DataFrame, text_col: str = "text", max_iterations: int = 10
+    texts: DataFrame,
+    text_col: str = "text",
+    max_iterations: int = 10,
+    method: str = "auto",
 ) -> DataFrame:
     """Alias canonicalization THROUGH connected components (the north
     rule's canonicalization stage): build a bipartite alias graph
     text <-> norm-node (norm = lowercase, [-_.\\s] stripped), run
-    min-label propagation, then pick the lexicographically smallest
-    TEXT per component as canonical. Identical output to the
-    norm-groupBy for single-hop aliases, and additionally collapses
-    chained aliases (text A shares norm X with B, B shares norm Y with
-    C through a second rule) transitively.
+    components, then pick the lexicographically smallest TEXT per
+    component as canonical. Identical output to the norm-groupBy for
+    single-hop aliases, and additionally collapses chained aliases
+    (text A shares norm X with B, B shares norm Y with C through a
+    second rule) transitively.
+
+    ``method``:
+    - "propagation": min-label propagation — one shuffle per round,
+      converges in O(component diameter) rounds. Right when alias
+      components are star/shallow (the common case: every variant maps
+      to the same norm node, diameter <= 2).
+    - "twophase": alternating large-star/small-star (Kiveris SoCC'14)
+      — heavier rounds, O(log² n) of them. Right when alias CHAINS can
+      be long at 100x scale (a 2L-hop chain needs ~L propagation
+      rounds but only ~log² rounds here; see test_components).
+    - "auto" (default): propagation within the ``max_iterations``
+      budget; if it has not converged (deep chain detected), restart
+      with the star method instead of silently returning partial
+      labels.
 
     Returns (text, canonical).
     """
@@ -184,7 +238,16 @@ def cc_alias_canonical(
         F.col("text").alias("src"),
         F.concat(F.lit(" norm:"), norm).alias("dst"),
     )
-    labels = connected_components(edges, max_iterations=max_iterations)
+    if method == "twophase":
+        labels = connected_components_twophase(edges)
+    elif method == "auto":
+        labels, stats = connected_components(
+            edges, max_iterations=max_iterations, return_stats=True
+        )
+        if not stats["converged"]:
+            labels = connected_components_twophase(edges)
+    else:
+        labels = connected_components(edges, max_iterations=max_iterations)
     text_labels = labels.join(t, labels["node"] == t["text"]).select(
         "text", "component"
     )

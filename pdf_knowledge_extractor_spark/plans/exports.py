@@ -68,12 +68,20 @@ def _uri(kind: str, col) -> F.Column:
 
 
 def jsonld_document_objects(enriched_docs: DataFrame,
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            analyzed_at: str | None = None) -> DataFrame:
     """Typed @graph objects for documents
     (_create_document_jsonld, exporters/data_analysis.py:893-923):
     @type [DigitalDocument, pdf:AnalyzedDocument] + word/char counts +
-    sentiment. to_json drops null fields, mirroring the reference's
-    conditional property adds."""
+    dateAnalyzed (unconditional in the reference, :903) + sentiment.
+    ``analyzed_at`` = None stamps the current time at plan build like
+    the reference's datetime.now(); pass the pinned created timestamp
+    for reproducible output. to_json drops null fields, mirroring the
+    reference's conditional property adds."""
+    import datetime as _dt
+
+    if analyzed_at is None:
+        analyzed_at = _dt.datetime.now().isoformat()
     did = F.col(id_col).cast("string")
     obj = F.struct(
         _uri("document", did).alias("@id"),
@@ -84,6 +92,7 @@ def jsonld_document_objects(enriched_docs: DataFrame,
         did.alias("dct:title"),
         F.col("word_count").cast("long").alias("wordCount"),
         F.col("char_count").cast("long").alias("characterCount"),
+        F.lit(analyzed_at).alias("dateAnalyzed"),
         F.col("sentiment.score").cast("double").alias("pdf:sentimentScore"),
         F.col("sentiment.sentiment").alias("pdf:sentimentLabel"),
     )
@@ -156,7 +165,8 @@ def jsonld_relationship_objects(similarities: DataFrame) -> DataFrame:
 
 def jsonld_cluster_objects(clusters: DataFrame) -> DataFrame:
     """Typed @graph objects for clusters (_create_cluster_jsonld,
-    data_analysis.py:977-1013)."""
+    data_analysis.py:977-1013), incl. pdf:coherenceScore (:989 — the
+    reference defaults missing coherence to 0)."""
     obj = F.struct(
         _uri(
             "cluster", F.concat(F.lit("cluster_"),
@@ -164,6 +174,11 @@ def jsonld_cluster_objects(clusters: DataFrame) -> DataFrame:
         ).alias("@id"),
         F.lit("pdf:DocumentCluster").alias("@type"),
         F.col("cluster_label").alias("name"),
+        (
+            F.coalesce(F.col("coherence_score"), F.lit(0.0))
+            if "coherence_score" in clusters.columns
+            else F.lit(0.0)
+        ).cast("double").alias("pdf:coherenceScore"),
         F.col("n_documents").cast("long").alias("pdf:documentCount"),
         F.transform(
             F.col("document_ids"),
@@ -194,7 +209,9 @@ def jsonld_structure(
 
     parts = []
     if "documents" in relations:
-        parts.append(jsonld_document_objects(relations["documents"]))
+        parts.append(
+            jsonld_document_objects(relations["documents"], analyzed_at=created)
+        )
     if "concepts" in relations:
         parts.append(jsonld_concept_objects(relations["concepts"]))
     if "similarities" in relations:
@@ -236,13 +253,21 @@ def write_jsonld(
 
     parts = []
     if "documents" in relations:
-        parts.append(jsonld_document_objects(relations["documents"]))
+        parts.append(
+            jsonld_document_objects(relations["documents"], analyzed_at=created)
+        )
     if "concepts" in relations:
         parts.append(jsonld_concept_objects(relations["concepts"]))
     if "similarities" in relations:
         parts.append(jsonld_relationship_objects(relations["similarities"]))
     if "clusters" in relations:
         parts.append(jsonld_cluster_objects(relations["clusters"]))
+    if not parts:
+        raise ValueError(
+            "write_jsonld: relations must contain at least one of "
+            "documents/concepts/similarities/clusters (got "
+            f"{sorted(relations)})"
+        )
     graph = parts[0]
     for p in parts[1:]:
         graph = graph.unionByName(p)

@@ -413,13 +413,26 @@ def run_pipeline(
 
     if cfg.with_clusters:
         from pdf_knowledge_extractor_spark.operators.clustering import (
+            cluster_coherence,
             cluster_documents,
             cluster_summaries,
         )
 
         vectors = to_ml_vectors(tfidf)
         assignments, k, silhouette = cluster_documents(vectors)
-        result["clusters"] = cluster_summaries(assignments, tfidf)
+        # coherence = mean intra-cluster pairwise similarity (reference
+        # :755-771), reusing the J1 pair table; clusters with no
+        # intra-cluster pair above threshold default to 0 like the
+        # reference's .get('coherence_score', 0)
+        coherence = cluster_coherence(assignments, similarities)
+        result["clusters"] = (
+            cluster_summaries(assignments, tfidf)
+            .join(coherence, "cluster_id", "left")
+            .withColumn(
+                "coherence_score",
+                F.coalesce("coherence_score", F.lit(0.0)),
+            )
+        )
         result["cluster_assignments"] = assignments
         triple_parts.append(T3.cluster_triples(assignments))
 

@@ -165,6 +165,9 @@ def run_pipeline_checkpointed(
     fingerprint (which includes the sha256 content invariant). A
     restart after any stage reuses all completed stages and produces
     byte-identical triples."""
+    import dataclasses
+    import datetime
+
     from pdf_knowledge_extractor_spark.plans.pipeline import (
         PipelineConfig,
         run_pipeline,
@@ -173,6 +176,22 @@ def run_pipeline_checkpointed(
     cfg = cfg or PipelineConfig()
     cp = CheckpointManager(spark, ckpt_dir)
     fp = cp.fingerprint(docs, content_col=text_col)
+
+    # resolve dct:created ONCE per (checkpoint, fingerprint) and persist
+    # it — a resume that rebuilds a stage must emit the same dct:created
+    # triples as the original run, not a fresh now() (the reference only
+    # stamps at export time; a resumable pipeline needs the stamp to be
+    # part of the checkpointed state)
+    if cfg.created_at is None:
+        marker = os.path.join(ckpt_dir, f"_created_at__{fp}")
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                created = fh.read().strip()
+        else:
+            created = datetime.datetime.now().isoformat()
+            with open(marker, "w", encoding="utf-8") as fh:
+                fh.write(created)
+        cfg = dataclasses.replace(cfg, created_at=created)
 
     # source snapshot (sha256 column persisted => invariant checkable
     # against every later stage)

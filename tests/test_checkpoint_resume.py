@@ -79,3 +79,44 @@ def test_changed_input_changes_fingerprint(spark, small_corpus, tmp_path):
     )
     fp2 = cp.fingerprint(mutated, content_col="content")
     assert fp1 != fp2
+
+
+def test_unpinned_created_at_stable_across_resume(spark, small_corpus,
+                                                  tmp_path):
+    """created_at=None must resolve ONCE per (checkpoint, fingerprint)
+    and persist: a resume that rebuilds stages emits the same
+    dct:created triples as the original run (ADVICE r2: previously a
+    fresh datetime.now() at every plan build)."""
+    import pyspark.sql.functions as F
+
+    from pdf_knowledge_extractor_spark.plans.pipeline import PipelineConfig
+
+    ckpt = str(tmp_path / "ckpt_created")
+    cfg = PipelineConfig(similarity_strategy="exact")  # created_at=None
+    docs = small_corpus.limit(30)
+    res1 = run_pipeline_checkpointed(
+        spark, docs, ckpt, cfg, id_col="doc_id", text_col="content",
+    )
+    created1 = {
+        r["obj"]
+        for r in res1["triples"].filter(F.col("pred") == "dct:created")
+        .select("obj").distinct().collect()
+    }
+    # simulate a resume that must REBUILD the triples stage (drop it)
+    import os
+    import shutil
+
+    for d in os.listdir(ckpt):
+        if d.startswith("triples__"):
+            shutil.rmtree(f"{ckpt}/{d}")
+    res2 = run_pipeline_checkpointed(
+        spark, docs, ckpt, PipelineConfig(similarity_strategy="exact"),
+        id_col="doc_id", text_col="content",
+    )
+    created2 = {
+        r["obj"]
+        for r in res2["triples"].filter(F.col("pred") == "dct:created")
+        .select("obj").distinct().collect()
+    }
+    assert len(created1) == 1
+    assert created1 == created2

@@ -109,3 +109,89 @@ def test_twophase_matches_label_propagation(spark):
             for r in connected_components_twophase(edges).collect()
         }
         assert two == base, f"{name}: {two} != {base}"
+
+
+def test_twophase_selfloop_singletons_match_propagation(spark):
+    """Nodes whose only edges are self-loops must get singleton labels
+    from BOTH variants (the twophase star iteration drops self-loops,
+    so they are re-attached from the endpoint set)."""
+    from pdf_knowledge_extractor_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("s", "s"), ("t", "t")], "src string, dst string"
+    )
+    base = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    two = {
+        r["node"]: r["component"]
+        for r in connected_components_twophase(edges).collect()
+    }
+    assert base == {"a": "a", "b": "a", "s": "s", "t": "t"}
+    assert two == base
+
+
+def test_twophase_beats_propagation_on_long_chains(spark):
+    """The round-count argument for the star method: a 50-link chain
+    needs ~50 propagation rounds but <= 7 large/small-star rounds
+    (including the final no-change confirmation round) — the geometric
+    path contraction that makes twophase the 100x-scale variant for
+    chained aliases."""
+    from pdf_knowledge_extractor_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    n = 50
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "src string, dst string",
+    )
+    prop, pstats = connected_components(
+        edges, max_iterations=60, return_stats=True
+    )
+    two, tstats = connected_components_twophase(edges, return_stats=True)
+    assert pstats["converged"] and tstats["converged"]
+    assert {r["component"] for r in prop.collect()} == {"n000"}
+    assert {r["component"] for r in two.collect()} == {"n000"}
+    assert tstats["iterations"] <= 7 < pstats["iterations"], (
+        pstats, tstats,
+    )
+
+
+def test_cc_alias_canonical_auto_escalates_when_budget_too_small(spark):
+    """method='auto' must return COMPLETE canonicalization even when
+    the propagation round budget is insufficient — it escalates to the
+    star method instead of silently returning partial labels. (With
+    the single separator-stripping rule every alias component is a
+    star around its norm node, so depth comes from the budget, not the
+    graph; the long-chain round-count advantage is covered by
+    test_twophase_beats_propagation_on_long_chains.)"""
+    from pdf_knowledge_extractor_spark.operators.components import (
+        cc_alias_canonical,
+    )
+
+    texts = []
+    for i in range(20):
+        texts.append(f"seg{i:02d}-seg{i + 1:02d}")
+        texts.append(f"seg{i:02d}_seg{i + 1:02d}")
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    full = {
+        r["text"]: r["canonical"]
+        for r in cc_alias_canonical(df, max_iterations=40).collect()
+    }
+    # budget 1 cannot converge (a star needs >= 2 rounds incl. the
+    # no-change confirmation) -> auto restarts with twophase
+    auto = {
+        r["text"]: r["canonical"]
+        for r in cc_alias_canonical(df, max_iterations=1).collect()
+    }
+    two = {
+        r["text"]: r["canonical"]
+        for r in cc_alias_canonical(df, method="twophase").collect()
+    }
+    assert auto == full == two
+    # pairwise aliases collapse: '-' (0x2d) < '_' (0x5f)
+    assert full["seg00_seg01"] == "seg00-seg01"

@@ -42,3 +42,47 @@ def test_frame_sampling_only_video(spark):
 def test_strict_mode_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"xx", strict=True)
+
+
+def _tiny_png() -> bytes:
+    """Hand-rolled valid 1x1 grayscale PNG (no PIL needed to BUILD it;
+    spec is public: PNG signature + IHDR + IDAT(zlib) + IEND)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1, 8-bit gray
+    idat = zlib.compress(b"\x00\x7f")  # filter 0 + one pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_real_path_or_stub_fallback():
+    """decode_image self-upgrades when PIL is importable: a real 1x1
+    PNG decodes to its true dimensions; without PIL (this container)
+    it must produce the deterministic stub values, and strict mode
+    still raises."""
+    from pdf_knowledge_extractor_spark.operators import multimodal as mm
+
+    png = _tiny_png()
+    if mm._HAS_PIL:
+        assert mm.decode_image(png) == (1, 1, 1)
+        # non-image payloads still fall back to the stub when not strict
+        assert mm.decode_image(b"not an image") == decode_image_stub(
+            b"not an image"
+        )
+    else:
+        assert mm.decode_image(png) == decode_image_stub(png)
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(png, strict=True)
