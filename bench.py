@@ -3,18 +3,28 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the flagship
-end-to-end KG pipeline (LSH similarity path) over the deterministic
-synthetic source-code corpus, and prints ONE JSON line:
+end-to-end KG pipeline over the deterministic synthetic source-code
+corpus, and prints ONE JSON line:
 
 {"metric": "...", "value": <total sec>, "unit": "sec",
  "queries": {...per-query sec...}, "sf": ..., "triples": N,
  "triples_per_sec": N}
+
+NOISE CONTROL (round 3): this host shows ±40% cold-run variance (~6%
+steal, VM neighbors), which made BENCH_rN files incomparable across
+rounds. Every headline query now runs $PKE_BENCH_REPEATS times
+(default 3) and reports the MEDIAN; the flagship pipeline runs
+$PKE_BENCH_PIPELINE_REPEATS times (default 2) and reports the final
+WARM pass (a real cluster pays JVM/codegen warmup once per executor
+lifetime, not per job). All raw runs ship in "queries_runs" so the
+distribution is on the record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -102,25 +112,52 @@ def main() -> None:
         _F.sum("l_quantity")
     ).collect()
 
+    repeats = int(os.environ.get("PKE_BENCH_REPEATS", "3"))
+    pipe_repeats = int(os.environ.get("PKE_BENCH_PIPELINE_REPEATS", "2"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+
+    def measure(name: str, thunk, n: int, record: str = "median"):
+        runs = []
+        out = None
+        for _ in range(max(n, 1)):
+            t0 = time.perf_counter()
+            out = thunk()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(
+            statistics.median(runs) if record == "median" else runs[-1], 3
+        )
+        return out
+
     t_total0 = time.perf_counter()
 
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        measure(name, lambda q=qs[name]: q(spark, sf_dir).count(), repeats)
 
-    # flagship: full KG pipeline over the synthetic code corpus
-    t0 = time.perf_counter()
+    # flagship: full KG pipeline over the synthetic code corpus.
+    # Repeated runs re-plan and re-execute everything (fresh lineage);
+    # the recorded number is the final WARM pass, with the cold pass on
+    # the record in queries_runs. Caches are cleared between passes so
+    # repeated persists don't accumulate; the LAST pass keeps its cache
+    # so the sim rows below reuse its tfidf.
     corpus = generate_corpus(spark, corpus_rows)
-    cfg = PipelineConfig(similarity_strategy="minhash")
-    res = run_pipeline(
-        spark, corpus, cfg, id_col="doc_id", text_col="content",
-        lang_col="lang",
-    )
-    n_triples = res["triples"].count()
-    dt = time.perf_counter() - t0
-    timings["kg_pipeline"] = round(dt, 3)
+    state: dict = {}
+
+    def run_kg():
+        if state:
+            spark.catalog.clearCache()
+        cfg = PipelineConfig(similarity_strategy="minhash")
+        res = run_pipeline(
+            spark, corpus, cfg, id_col="doc_id", text_col="content",
+            lang_col="lang",
+        )
+        state["res"] = res
+        state["triples"] = res["triples"].count()
+        return res
+
+    measure("kg_pipeline", run_kg, pipe_repeats, record="last")
+    res, n_triples = state["res"], state["triples"]
 
     # similarity-strategy bench rows on the REALISTIC-vocabulary corpus
     # (the driver documents table's 24-word vocabulary makes any
@@ -133,9 +170,21 @@ def main() -> None:
     )
 
     tfidf = res["tfidf"]
-    t0 = time.perf_counter()
-    minhash_blocked_cosine_pairs(tfidf, threshold=0.7).count()
-    timings["sim_minhash_corpus"] = round(time.perf_counter() - t0, 3)
+    measure(
+        "sim_minhash_corpus",
+        lambda: minhash_blocked_cosine_pairs(tfidf, threshold=0.7).count(),
+        repeats,
+    )
+    # the same blocker with the pipeline's production bucket cap — the
+    # round-3 scale guard; on this corpus the near-dup clusters are
+    # small so the cap is recall-neutral and the row isolates its cost
+    measure(
+        "sim_minhash_capped_corpus",
+        lambda: minhash_blocked_cosine_pairs(
+            tfidf, threshold=0.7, max_bucket_size=400
+        ).count(),
+        repeats,
+    )
     # prefix filtering is EXACT but Σ prefix_df² — measured 225s on the
     # full 50k corpus (the flat-weight content defeats the prefix
     # bound; that is why minhash banding is the default scale path).
@@ -148,10 +197,10 @@ def main() -> None:
         ),
         "doc_id",
     )
-    t0 = time.perf_counter()
-    prefix_cosine_pairs(sub, threshold=0.7).count()
-    timings[f"sim_prefix_corpus_{prefix_docs // 1000}k"] = round(
-        time.perf_counter() - t0, 3
+    measure(
+        f"sim_prefix_corpus_{prefix_docs // 1000}k",
+        lambda: prefix_cosine_pairs(sub, threshold=0.7).count(),
+        repeats,
     )
 
     total = round(time.perf_counter() - t_total0, 3)
@@ -162,10 +211,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": all_runs,
+                "repeats": repeats,
+                "pipeline_repeats": pipe_repeats,
                 "sf": sf,
                 "corpus_rows": corpus_rows,
                 "triples": n_triples,
-                "triples_per_sec": round(n_triples / dt, 1),
+                "triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
                 "cpus": cpus,
                 "profile": profile,
             }
