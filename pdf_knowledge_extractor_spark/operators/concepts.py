@@ -184,6 +184,67 @@ def canonical_merge(
     return merged
 
 
+def with_concept_contexts(
+    concepts: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int = 5,
+    n_sentences: int = 5,
+) -> DataFrame:
+    """Attach ``context_sentences`` (<= n_sentences, reference cap at
+    semantic_analyzer.py:442) to an aggregated concepts table — the
+    SCALE path for concept contexts.
+
+    Why post-aggregation: carrying a context string on every mention
+    row multiplies the mention shuffle by the sentence length — and on
+    punctuation-less content (source code) the \"first sentence\" IS
+    the whole document, a ~tokens× text blowup through the salted agg
+    (measured: the per-mention variant stalled the 300k-row bench).
+    Instead, after the frequency/importance aggregation, each concept
+    looks up its ``n_docs`` SMALLEST document ids (document_ids is
+    kept sorted) and extracts the first containing sentence per doc —
+    a broadcast join of <= max_concepts * n_docs rows against a
+    two-column doc scan, the same deterministic min-doc pattern as
+    triples.concept_definition_triples. The per-mention variant
+    remains available via keyword_mentions(with_context=True) ->
+    aggregate_concepts for prose-shaped corpora."""
+    tgt = concepts.select(
+        "text",
+        "concept_type",
+        F.explode(F.slice("document_ids", 1, n_docs)).alias("_mdoc"),
+    )
+    joined = F.broadcast(tgt).join(
+        docs.select(
+            F.col(id_col).alias("_mdoc"), F.col(text_col).alias("_doctext")
+        ),
+        "_mdoc",
+    )
+    sents = F.split(F.col("_doctext"), r"[.!?]\s+")
+    ctx = F.try_element_at(
+        F.filter(sents, lambda s: F.contains(F.lower(s), F.col("text"))),
+        F.lit(1),
+    )
+    grouped = (
+        joined.select("text", "concept_type", ctx.alias("_ctx"))
+        .filter(F.col("_ctx").isNotNull())
+        .groupBy("text", "concept_type")
+        .agg(
+            F.slice(
+                F.array_distinct(F.array_sort(F.collect_list("_ctx"))),
+                1,
+                n_sentences,
+            ).alias("context_sentences")
+        )
+    )
+    return concepts.join(grouped, ["text", "concept_type"], "left").withColumn(
+        "context_sentences",
+        F.coalesce(
+            "context_sentences", F.array().cast("array<string>")
+        ),
+    )
+
+
 def concept_id(text_col, type_col=None) -> F.Column:
     """Stable concept node id: 'concept_<text with non-word -> _>'
     (semantic_analyzer.py:531-543 minting rule)."""

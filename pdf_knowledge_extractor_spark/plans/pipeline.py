@@ -100,9 +100,12 @@ class PipelineConfig:
     # (exporters/data_analysis.py:1159-1164)
     with_definitions: bool = True
     # populate concept.context_sentences (<=5 per concept, reference
-    # semantic_analyzer.py:442) from the keyword mention stream; feeds
-    # the concepts relation + JSON-LD description. Off the similarity
-    # hot path (tfidf is built from a separate context-free stream).
+    # semantic_analyzer.py:442) via the post-aggregation min-doc
+    # lookup (concepts.with_concept_contexts) — a broadcast join of
+    # <= max_concepts*5 rows, NOT per-mention context (which multiplies
+    # the mention shuffle by sentence length; on punctuation-less code
+    # the "sentence" is the whole document). Feeds the concepts
+    # relation + the JSON-LD description field.
     with_context: bool = True
     # dct:created timestamp; None = now() like the reference exporter
     # (data_analysis.py:1135-1137) — pin it for reproducible output
@@ -290,7 +293,6 @@ def run_pipeline(
     mentions = all_mentions(
         enriched, id_col=id_col, text_col=text_col,
         lang_col=lang_col if cfg.with_entities else None,
-        with_context=cfg.with_context,
     )
     extractor_hooks = cfg.extra.get("feature_extractors") or []
     if extractor_hooks:
@@ -299,11 +301,7 @@ def run_pipeline(
         for extra_stream in detector_mentions(
             enriched, extractor_hooks, id_col=id_col, text_col=text_col
         ):
-            # hook streams ship no context column; null-fill when the
-            # keyword stream carries one
-            mentions = mentions.unionByName(
-                extra_stream, allowMissingColumns=True
-            )
+            mentions = mentions.unionByName(extra_stream)
     kw_mentions = keyword_mentions(enriched, id_col, text_col)
 
     # N = corpus size (cheap column-pruned count; passing the scalar
@@ -325,15 +323,29 @@ def run_pipeline(
             raw_concepts,
             min_frequency=cfg.min_concept_frequency,
             max_concepts=cfg.max_concepts,
-        ).persist()
-        concepts.count()  # materialize before the broadcast θ-join reads it
+        )
     else:
         concepts = aggregate_concepts(
             mentions,
             min_frequency=cfg.min_concept_frequency,
             max_concepts=cfg.max_concepts,
             n_salts=cfg.n_salts,
+        )
+    # materialize the aggregation ONCE before anything fans out over it
+    # (the context join reads it twice: broadcast side + left side)
+    concepts = concepts.persist()
+    concepts.count()
+    if cfg.with_context:
+        from pdf_knowledge_extractor_spark.operators.concepts import (
+            with_concept_contexts,
+        )
+
+        concepts = with_concept_contexts(
+            concepts, enriched, id_col=id_col, text_col=text_col
         ).persist()
+        concepts.count()  # tiny (<= max_concepts rows); downstream
+        # consumers (graph, relationships, triples) read the cache
+        # instead of re-running the broadcast context join
 
     if cfg.similarity_strategy == "lsh":
         vectors = to_ml_vectors(tfidf, vocab_size=cfg.lsh_dims).persist()

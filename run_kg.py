@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--strategy", default="minhash",
                     choices=["exact", "prefix", "minhash", "lsh"])
     ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--max-bucket", type=int, default=400,
+                    help="minhash blocker degenerate-bucket cap "
+                         "(0 disables; members of larger buckets are "
+                         "boilerplate handled by exact dedup)")
+    ap.add_argument("--no-context", action="store_true",
+                    help="skip concept context-sentence extraction")
     ap.add_argument("--with-clusters", action="store_true")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[] cores; omit under spark-submit")
@@ -68,6 +74,8 @@ def main() -> None:
     cfg = PipelineConfig(
         similarity_strategy=args.strategy,
         similarity_threshold=args.threshold,
+        similarity_max_bucket=args.max_bucket or None,
+        with_context=not args.no_context,
         with_clusters=args.with_clusters,
     )
     t0 = time.perf_counter()
