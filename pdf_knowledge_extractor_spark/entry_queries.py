@@ -1898,3 +1898,76 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — graph stats / density (G3, A11): node + edge counts and
+# nx.density parity over the full pipeline graph (round 3 — closes the
+# two "untested (trivial)" rows in the coverage table)
+# ---------------------------------------------------------------------------
+_SQL_GRAPH_STATS = f"""
+WITH {_SQL_TFIDF.lstrip()},
+{_SQL_KG_CONCEPTS.strip()},
+sim AS (
+    SELECT count(*)::BIGINT AS n FROM (
+        SELECT 1 FROM tfidf a
+        JOIN tfidf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(sum(a.weight * b.weight), 6) >= 0.7
+    )
+),
+rel AS (
+    SELECT count(*)::BIGINT AS n FROM top100 a JOIN top100 b
+    ON a.text < b.text AND a.ctype <> b.ctype
+       AND (a.imp + b.imp) / 2.0 > 0.5
+),
+contains_e AS (
+    SELECT coalesce(sum(ndocs), 0)::BIGINT AS n FROM top100
+),
+nn AS (
+    SELECT (SELECT count(*) FROM documents)::BIGINT
+         + (SELECT count(*) FROM top100)::BIGINT AS n_nodes
+),
+ee AS (
+    SELECT (SELECT n FROM contains_e) + (SELECT n FROM sim)
+         + (SELECT n FROM rel) AS n_edges
+)
+SELECT nn.n_nodes AS total_nodes, ee.n_edges AS total_edges,
+       round(2.0 * ee.n_edges / (nn.n_nodes * (nn.n_nodes - 1.0)), 9)
+           AS graph_density
+FROM nn, ee
+"""
+
+
+@_register("graph_stats", _SQL_GRAPH_STATS)
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/A11: node/edge counts + nx.density formula (2E/(N(N-1)),
+    semantic_analyzer.py:176) over the full exact-strategy pipeline
+    graph, hash-matched against the composed SQL derivation of the
+    node and edge sets."""
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    d = _docs(spark, sf_dir)
+    res = run_pipeline(
+        spark,
+        d,
+        PipelineConfig(
+            similarity_strategy="exact",
+            similarity_round_dp=6,
+            created_at="2026-01-01T00:00:00",
+        ),
+    )
+    nodes = res["nodes"].agg(F.count("*").alias("total_nodes"))
+    edges = res["edges"].agg(F.count("*").alias("total_edges"))
+    return nodes.crossJoin(edges).select(
+        "total_nodes",
+        "total_edges",
+        F.round(
+            2.0 * F.col("total_edges")
+            / (F.col("total_nodes") * (F.col("total_nodes") - 1.0)),
+            9,
+        ).alias("graph_density"),
+    )
