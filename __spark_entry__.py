@@ -10,8 +10,13 @@ a recursive-CTE fixpoint, KMeans against its partition invariant, and
 the full pipeline against composed per-predicate count CTEs. Round 3
 adds cluster_summaries_fixed (the label/centroid/topic derivation
 behind kmeans_summaries, hash-matched under deterministic
-assignments) and ann_ivf_kmeans_topk (the KMeans-shaped IVF with a
-pinned quantizer). The one remaining rows-only query is
+assignments), ann_ivf_kmeans_topk (the KMeans-shaped IVF with a
+pinned quantizer), graph_stats (node/edge counts + density),
+media_features (the multimodal mapInPandas path — sha256-derived
+values re-computed by DuckDB's sha256()), and sessionize_stream (the
+applyInPandasWithState session operator driven as a real file-source
+streaming query, matched against the batch SQL fixpoint's closed
+sessions). The one remaining rows-only query is
 kmeans_summaries (cluster memberships are not SQL-derivable; its
 partition invariant and its summary logic are oracle-gated
 separately).

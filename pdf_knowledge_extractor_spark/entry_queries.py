@@ -1971,3 +1971,140 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("graph_density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — multimodal feature extraction (mapInPandas plumbing), fully
+# oracle-gated: the deterministic fake decode/features are sha256-derived
+# and DuckDB has sha256(), so byte-level parity is SQL-checkable
+# ---------------------------------------------------------------------------
+_SQL_MEDIA = """
+WITH h AS (
+    SELECT doc_id::VARCHAR AS media_id,
+           strlen(text)::BIGINT AS n_bytes,
+           sha256(text) AS sha,
+           sha256(text || 'feat') AS fsha
+    FROM documents
+)
+SELECT media_id, 'image' AS kind, n_bytes, sha AS sha256,
+       (64 + ('0x' || substr(sha, 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(sha, 3, 2))::INT % 192)::INT AS height,
+       (1 + ('0x' || substr(sha, 5, 2))::INT % 30)::INT AS n_frames,
+       array_to_string(list_transform(range(8), i ->
+           ('0x' || substr(fsha, i * 2 + 1, 2))::INT::VARCHAR), '|')
+           AS feature_bytes
+FROM h
+"""
+
+
+@_register("media_features", _SQL_MEDIA)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_media_features (operators/multimodal.py) over binary
+    payloads built from the documents table (data = utf-8 bytes of
+    text). The Arrow-batched mapInPandas path runs for real; widths/
+    heights/frames and the 8 feature components are deterministic
+    byte-hash functions, inverted back to exact digest bytes
+    (round((f+1)/2*255) — float32 storage keeps bytes exact) so DuckDB
+    re-derives every value from sha256()."""
+    from pdf_knowledge_extractor_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = extract_media_features(media, feature_dim=8)
+    byte_back = F.transform(
+        "features",
+        lambda f: F.round((f + F.lit(1.0)) / 2.0 * 255.0).cast("int").cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws("|", byte_back).alias("feature_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — stateful streaming sessionization (applyInPandasWithState) vs
+# the batch SQL fixpoint: the streaming operator reads the events table
+# as a file stream (availableNow), emits CLOSED sessions; the oracle
+# derives the same closed-session set (every session but each user's
+# last) from the lag/cumsum sessionization
+# ---------------------------------------------------------------------------
+_SQL_SESSIONS_STREAM = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, sid,
+           floor(min(epoch(ts)))::BIGINT AS session_start,
+           floor(max(epoch(ts)))::BIGINT AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+"""
+
+
+@_register("sessionize_stream", _SQL_SESSIONS_STREAM)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/stateful.session_aggregator driven end-to-end as a
+    real Structured Streaming query (file source, availableNow
+    trigger, memory sink), hash-matched against the batch
+    sessionization SQL restricted to CLOSED sessions (the streaming
+    operator keeps each user's open tail session in state)."""
+    import uuid
+
+    from pdf_knowledge_extractor_spark.streaming.stateful import (
+        session_aggregator,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source needs a DIRECTORY basePath; the sf dir
+    # holds one parquet file per table, so glob-filter to this table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_aggregator(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
