@@ -288,7 +288,12 @@ def minhash_blocked_cosine_pairs(
     if max_bucket_size is not None:
         # persist the banded rows (3 narrow columns) so the bucket
         # census and the anti-join probe don't each recompute the
-        # signature HOFs — the expensive subtree of this operator
+        # signature HOFs — the expensive subtree of this operator.
+        # Cache lifecycle: this operator returns a lazy plan that the
+        # pipeline materializes exactly once (similarities is itself
+        # persisted), so the cache lives for the job and is evicted
+        # LRU afterwards; callers looping this operator should
+        # spark.catalog.clearCache() between iterations (bench.py does)
         banded = banded.persist()
         hot_buckets = (
             banded.groupBy("band", "band_hash")
