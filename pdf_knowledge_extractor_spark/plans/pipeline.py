@@ -304,15 +304,23 @@ def run_pipeline(
             mentions = mentions.unionByName(extra_stream)
     kw_mentions = keyword_mentions(enriched, id_col, text_col)
 
-    # N = corpus size (cheap column-pruned count; passing the scalar
-    # avoids a broadcast subquery that would recompute the whole
-    # tokenize+tf chain before the cache exists)
-    n_docs = docs.count()
+    sc = spark.sparkContext
+
+    # N = corpus size, counted over ENRICHED so this one job also
+    # materializes the enrich cache (row-preserving projections, same
+    # count). Counting raw `docs` here re-ran the full source
+    # expression tree a second time — profiled at 29s of the 179s
+    # 8-executor 300k run on the synthetic corpus. Passing the scalar
+    # into tfidf avoids a broadcast subquery that would recompute the
+    # tokenize+tf chain before the cache exists.
+    sc.setJobDescription("pke: materialize enrich + count(n_docs)")
+    n_docs = enriched.count()
     tfidf = tfidf_longform(
         kw_mentions.select("doc_id", F.col("text")),
         n_docs=n_docs,
         normalize=True,
     ).persist()
+    sc.setJobDescription("pke: materialize tfidf")
     tfidf.count()  # materialize: downstream broadcasts must hit cache
 
     if cfg.canonicalize:
@@ -334,6 +342,7 @@ def run_pipeline(
     # materialize the aggregation ONCE before anything fans out over it
     # (the context join reads it twice: broadcast side + left side)
     concepts = concepts.persist()
+    sc.setJobDescription("pke: materialize concepts")
     concepts.count()
     if cfg.with_context:
         from pdf_knowledge_extractor_spark.operators.concepts import (
@@ -343,9 +352,11 @@ def run_pipeline(
         concepts = with_concept_contexts(
             concepts, enriched, id_col=id_col, text_col=text_col
         ).persist()
+        sc.setJobDescription("pke: concept contexts (min-doc join)")
         concepts.count()  # tiny (<= max_concepts rows); downstream
         # consumers (graph, relationships, triples) read the cache
         # instead of re-running the broadcast context join
+    sc.setJobDescription(None)
 
     if cfg.similarity_strategy == "lsh":
         vectors = to_ml_vectors(tfidf, vocab_size=cfg.lsh_dims).persist()
