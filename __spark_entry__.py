@@ -16,7 +16,9 @@ media_features (the multimodal mapInPandas path — sha256-derived
 values re-computed by DuckDB's sha256()), and sessionize_stream (the
 applyInPandasWithState session operator driven as a real file-source
 streaming query, matched against the batch SQL fixpoint's closed
-sessions). The one remaining rows-only query is
+sessions; likewise windowed_stream_counts and stream_user_counts for
+the watermark and running-counter operators). The one remaining
+rows-only query is
 kmeans_summaries (cluster memberships are not SQL-derivable; its
 partition invariant and its summary logic are oracle-gated
 separately).

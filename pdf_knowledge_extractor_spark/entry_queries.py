@@ -2108,3 +2108,97 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("long").alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q42/q43 — the remaining streaming operators driven as real streaming
+# queries and hash-matched against batch SQL: windowed event-time
+# aggregation (watermark path) and the stateful running-counters
+# operator (single availableNow batch => each user's final totals)
+# ---------------------------------------------------------------------------
+@_register(
+    "windowed_stream_counts",
+    """
+SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_windowed_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/stream_ops.windowed_event_counts run as a real
+    Structured Streaming query (file source, watermark, availableNow,
+    complete-mode memory sink) — tumbling 1h windows hash-match the
+    batch epoch-bucket SQL. approx_count_distinct is projected out
+    (HLL sketches are engine-specific by design)."""
+    import uuid
+
+    from pdf_knowledge_extractor_spark.streaming.stream_ops import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+        # the cast interprets wall time in the session TZ (pinned UTC),
+        # matching DuckDB's epoch() on the same values
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    out = run_stream_to_memory(
+        spark, agg, f"win_stream_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("win_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@_register(
+    "stream_user_counts",
+    """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/stateful.running_user_counts (applyInPandasWithState,
+    update mode) driven over a single availableNow batch: every user
+    emits exactly its final running totals, which must equal the batch
+    groupBy — the stateful-counter operator's oracle gate."""
+    import uuid
+
+    from pdf_knowledge_extractor_spark.streaming.stateful import (
+        running_user_counts,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"ucount_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
