@@ -29,10 +29,25 @@ def normalized_text(col):
     return F.lower(clean_text(col))
 
 
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Repartition the source up to the session's default parallelism
+    when it arrives under-split — a small corpus in one parquet file is
+    ONE input split, so the expensive per-row projections these
+    operators run (shingling, signatures) would execute on a single
+    core (profiled: 6 of minhash_dedup's 9.5s at sf0.1 were a
+    1-task stage with 31 idle cores). At production scale sources have
+    >= parallelism splits and this is a no-op — no shuffle is added."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint, canonical_id, group_size, is_duplicate)."""
-    fp = docs.select(
+    fp = _spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
     )
@@ -65,7 +80,8 @@ def shingle_posting(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct posting list."""
     return (
-        docs.select(
+        _spread_input(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )
@@ -178,7 +194,7 @@ def minhash_lsh_pairs(
     guarantees for the oracle gate; set a few hundred at 100-TB
     scale."""
     rows_per_band = num_hashes // bands
-    sets = docs.select(
+    sets = _spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
     ).persist()
@@ -293,7 +309,8 @@ def simhash_signatures(
             F.lit(4294967295)
         )
     tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+        _spread_input(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
