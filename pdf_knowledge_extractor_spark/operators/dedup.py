@@ -24,24 +24,16 @@ from pyspark.sql import functions as F
 from pdf_knowledge_extractor_spark.functions.text import clean_text
 from pdf_knowledge_extractor_spark.operators.ann import _finalize
 
+# under-split sources serialize the shingling/signature projections
+# onto one core (profiled: 6 of minhash_dedup's 9.5s at sf0.1 were a
+# 1-task stage with 31 idle cores) — spread before the heavy maps
+from pdf_knowledge_extractor_spark.sources.readers import (
+    spread_input as _spread_input,
+)
+
 
 def normalized_text(col):
     return F.lower(clean_text(col))
-
-
-def _spread_input(docs: DataFrame) -> DataFrame:
-    """Repartition the source up to the session's default parallelism
-    when it arrives under-split — a small corpus in one parquet file is
-    ONE input split, so the expensive per-row projections these
-    operators run (shingling, signatures) would execute on a single
-    core (profiled: 6 of minhash_dedup's 9.5s at sf0.1 were a
-    1-task stage with 31 idle cores). At production scale sources have
-    >= parallelism splits and this is a no-op — no shuffle is added."""
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",

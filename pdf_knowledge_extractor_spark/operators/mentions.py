@@ -131,6 +131,10 @@ def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
             1, F.split(F.col(text_col), r"[.!?]\s+").alias("_sents")
         )
     out = (
+        # NOT spread here: tokenization is light enough that a
+        # round-robin text shuffle costs more than it parallelizes
+        # (measured at sf0.1); heavy projections (shingling, enrich)
+        # spread at their own entry points instead
         docs.select(*pre_cols)
         .withColumn("concept_type", F.lit("keyword"))
         .withColumn("importance", F.lit(0.5))

@@ -289,6 +289,12 @@ def run_pipeline(
             text_col, apply_preprocessors(F.col(text_col), pre_hooks)
         )
 
+    # under-split sources (one small parquet file = one input split)
+    # would run the whole enrich projection on one core; no-op when the
+    # source already carries >= parallelism splits
+    from pdf_knowledge_extractor_spark.sources.readers import spread_input
+
+    docs = spread_input(docs)
     enriched = enrich_documents(docs, id_col, text_col).persist()
     mentions = all_mentions(
         enriched, id_col=id_col, text_col=text_col,

@@ -29,3 +29,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition a source up to the session's default parallelism
+    when it arrives under-split (a small corpus in one parquet file is
+    ONE input split, serializing every heavy per-row projection above
+    it onto one core). At production scale sources carry >= parallelism
+    splits and this is a no-op — no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
