@@ -157,3 +157,28 @@ def test_csv_relations_roundtrip(spark, triples, tmp_path):
     assert json.loads(row["tags"]) == ["a", "b"]
     stats = {r["relation"]: r["rows"] for r in statistics_relation(rels).collect()}
     assert stats == {"triples": 4, "documents": 1}
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """K1 (JSON result sink): triples written with the std JSON writer
+    read back value-identical (schema + rows)."""
+    import pyspark.sql.functions as F
+
+    triples = spark.createDataFrame(
+        [
+            ("d1", "contains", "concept_spark", 0.9, "graph"),
+            ("d1", "pdf:wordCount", "42", 1.0, "doc_props"),
+            ("concept_spark", "skos:prefLabel", 'say "hi"\nline2', 1.0,
+             "concept_props"),
+        ],
+        "subj string, pred string, obj string, weight double, prov string",
+    )
+    out = str(tmp_path / "triples_json")
+    triples.write.mode("overwrite").json(out)
+    back = spark.read.json(out).select(
+        "subj", "pred", "obj", F.col("weight").cast("double"), "prov"
+    )
+    assert back.count() == 3
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, triples.collect())
+    )
