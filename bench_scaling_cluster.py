@@ -24,6 +24,9 @@ import sys
 import time
 
 ROWS = int(os.environ.get("PKE_SCALE_ROWS", "300000"))
+# degenerate-bucket cap for the similarity blocker; 0 = uncapped
+# (the round-2 configuration — used as the attribution control)
+MAX_BUCKET = int(os.environ.get("PKE_SCALE_MAX_BUCKET", "400")) or None
 EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
 LEVELS = (
     int(os.environ.get("PKE_SCALE_N", "2")),
@@ -62,7 +65,9 @@ def measured_run(n_exec: int) -> dict:
     t0 = time.perf_counter()
     corpus = generate_corpus(spark, ROWS)
     res = run_pipeline(
-        spark, corpus, PipelineConfig(similarity_strategy="minhash"),
+        spark, corpus,
+        PipelineConfig(similarity_strategy="minhash",
+                       similarity_max_bucket=MAX_BUCKET),
         id_col="doc_id", text_col="content", lang_col="lang",
     )
     n_triples = res["triples"].count()
@@ -71,6 +76,7 @@ def measured_run(n_exec: int) -> dict:
     return {
         "executors": n_exec,
         "rows": ROWS,
+        "max_bucket": MAX_BUCKET,
         "triples": n_triples,
         "seconds": round(dt, 2),
         "triples_per_sec": round(n_triples / dt, 1),

@@ -24,7 +24,13 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     then release the operator's internal caches — persisted
     intermediates must outlive every job that computes the result, and
     a lazy return would leak them across repeated operator calls in a
-    long-lived session (they are invisible to the caller)."""
+    long-lived session (they are invisible to the caller).
+
+    localCheckpoint stores partitions on executor local disks (not
+    fault-tolerant to executor loss); these results are top-k /
+    near-dup pair tables, small enough that a lost-executor recompute
+    from source is acceptable. For durable outputs, write the returned
+    DataFrame to a real sink."""
     out = result.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
