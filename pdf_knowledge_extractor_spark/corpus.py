@@ -64,8 +64,26 @@ def generate_corpus(
     n_repos: int = 20,
     body_words: int = 40,
     partitions: int | None = None,
+    boilerplate_fraction: float = 0.0,
+    boilerplate_families: int = 4,
+    boilerplate_mutation_permille: int = 30,
 ) -> DataFrame:
-    """-> DataFrame(repo, path, commit, lang, content, doc_id)."""
+    """-> DataFrame(repo, path, commit, lang, content, doc_id).
+
+    ``boilerplate_fraction`` > 0 injects MUTATED-BOILERPLATE families
+    (the round-4 bucket-cap recall corpus): that fraction of rows is
+    assigned to one of ``boilerplate_families`` clone groups; each
+    member's body is the family's base body with each word position
+    independently mutated to a member-specific word with probability
+    ``boilerplate_mutation_permille``/1000. At the default 3% mutation
+    the members of one family are pairwise near-duplicates (term-set
+    Jaccard ≈ 0.85, tf-idf cosine ≈ 0.8) whose TEXTS ALL DIFFER — so
+    exact-fingerprint dedup recovers none of them, and any
+    band-bucket cap that silently drops hot buckets loses true
+    `similar_to` pairs. A `bp_family` column (family id, -1 for
+    non-members) is added in this mode only, so experiments can
+    compute family-level ground truth; the default mode's schema and
+    bytes are unchanged."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
     df = spark.range(0, n_rows, 1, partitions)
@@ -97,18 +115,36 @@ def generate_corpus(
     # body from the PREVIOUS id for near-dup rows (id % 23 == 1 copies id-1)
     body_seed = F.when(rid % 23 == 1, rid - 1).otherwise(rid)
 
-    def zipf_word(j):
+    def zipf_word(seed_col, j, salt=100):
         """Zipf(s=1) word pick: index = floor(V^u) for u ~ U[0,1)
         (log-uniform => P(idx=k) ∝ 1/k). Gives the corpus a realistic
         Zipfian term distribution: a few hot terms (skew/salting
         tests), a long rare tail (prefix-filter selectivity)."""
-        u = (F.abs(F.xxhash64(body_seed, F.lit(100), j)) % 1_000_000) / 1_000_000.0
+        u = (F.abs(F.xxhash64(seed_col, F.lit(salt), j)) % 1_000_000) / 1_000_000.0
         idx = F.floor(F.pow(F.lit(float(n_vocab)), u)).cast("int")
         return F.element_at(vocab, F.least(idx, F.lit(n_vocab - 1)) + 1)
 
+    pick_body_word = lambda j: zipf_word(body_seed, j)  # noqa: E731
+    bp_family = F.lit(-1).cast("long")
+    if boilerplate_fraction > 0:
+        is_bp = (h(8) % 1000) < int(round(boilerplate_fraction * 1000))
+        fam = (h(9) % boilerplate_families) + F.lit(10_000_000)
+        bp_family = F.when(is_bp, fam - 10_000_000).otherwise(F.lit(-1))
+
+        def pick_body_word(j):  # noqa: F811
+            mut = (
+                F.abs(F.xxhash64(rid, F.lit(300), j)) % 1000
+            ) < boilerplate_mutation_permille
+            member_word = F.when(
+                mut, zipf_word(rid, j, salt=400)
+            ).otherwise(zipf_word(fam, j, salt=150))
+            return F.when(is_bp, member_word).otherwise(
+                zipf_word(body_seed, j)
+            )
+
     body = F.concat_ws(
         " ",
-        F.transform(F.sequence(F.lit(1), F.lit(body_words)), zipf_word),
+        F.transform(F.sequence(F.lit(1), F.lit(body_words)), pick_body_word),
     )
 
     hot = (h(4) % HOT_FRACTION_MOD) < 3
@@ -144,13 +180,16 @@ def generate_corpus(
         .otherwise(content)
     )
 
-    return df.select(
+    cols = [
         repo.alias("repo"),
         path.alias("path"),
         commit.alias("commit"),
         lang.alias("lang"),
         content.alias("content"),
-    ).withColumn(
+    ]
+    if boilerplate_fraction > 0:
+        cols.append(bp_family.alias("bp_family"))
+    return df.select(*cols).withColumn(
         "doc_id",
         F.concat(F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"),
                  F.col("commit").substr(1, 8)),

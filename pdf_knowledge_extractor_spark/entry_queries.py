@@ -1377,10 +1377,7 @@ top100 AS (
     ORDER BY round(imp, 9) DESC, freq DESC, text ASC LIMIT 100
 )"""
 
-_SQL_KG_ORACLE = f"""
-WITH {_SQL_TFIDF.lstrip()},
-{_SQL_KG_CONCEPTS.strip()},
-counts AS (
+_SQL_KG_COUNTS_BODY = """
     SELECT 'contains' AS pred,
            (SELECT coalesce(sum(ndocs), 0) FROM top100)::BIGINT AS n
     UNION ALL
@@ -1415,7 +1412,12 @@ counts AS (
     SELECT p.pred, (SELECT count(*) FROM top100)::BIGINT
     FROM (VALUES ('skos:prefLabel'), ('pdf:conceptType'),
                  ('pdf:importanceScore'), ('pdf:frequency')) p(pred)
-)
+"""
+
+_SQL_KG_ORACLE = f"""
+WITH {_SQL_TFIDF.lstrip()},
+{_SQL_KG_CONCEPTS.strip()},
+counts AS ({_SQL_KG_COUNTS_BODY})
 SELECT pred, n FROM counts WHERE n > 0
 """
 
@@ -2102,12 +2104,31 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _assert_single_batch(q)
     return spark.table(name).select(
         "user_id",
         F.col("session_start").cast("long").alias("session_start"),
         F.col("session_end").cast("long").alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def _assert_single_batch(q) -> None:
+    """The batch-SQL oracle for the append-mode session stream assumes
+    per-user event-time order, which the file source only guarantees
+    within a single micro-batch. One events.parquet file + availableNow
+    => one batch; guard the assumption explicitly so a future
+    multi-file sf layout fails loudly instead of hash-mismatching
+    (ADVICE r3)."""
+    data_batches = [
+        p for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    ]
+    if len(data_batches) > 1:
+        raise RuntimeError(
+            f"expected a single availableNow micro-batch, got "
+            f"{len(data_batches)}: the append-mode session oracle is "
+            "only valid for single-batch execution"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -2197,8 +2218,176 @@ def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value", 4).alias("sum_value"),
+    # robust to multi-batch execution (ADVICE r3): the update-mode
+    # memory sink holds one row per (user, batch); the FINAL emission
+    # per user is the one with the highest running n_events, and it
+    # must equal the batch groupBy totals
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — the CLUSTERED pipeline composition end-to-end (VERDICT r3 item
+# 2): with_clusters=True over deterministic injected assignments
+# (doc_id % 5 on the tfidf universe), so the whole DAG — including the
+# cluster_triples union leg the default pipeline skips — is per-pred
+# hash-matched, in_cluster included
+# ---------------------------------------------------------------------------
+_SQL_KG_CLUSTERED_ORACLE = f"""
+WITH {_SQL_TFIDF.lstrip()},
+{_SQL_KG_CONCEPTS.strip()},
+counts AS ({_SQL_KG_COUNTS_BODY}
+    UNION ALL
+    SELECT 'in_cluster',
+           (SELECT count(DISTINCT doc_id) FROM tfidf)::BIGINT
+)
+SELECT pred, n FROM counts WHERE n > 0
+"""
+
+
+def _fixed_assignments(spark: SparkSession, sf_dir: str):
+    """doc_id % 5 over the vectorizable universe (docs with >= 1
+    keyword term) — the deterministic stand-in for KMeans memberships
+    that makes the clustered composition SQL-derivable."""
+    d = _docs(spark, sf_dir)
+    km = keyword_mentions(d)
+    t = tfidf_longform(km.select("doc_id", "text"), n_docs=d.count())
+    return (
+        t.select("doc_id")
+        .distinct()
+        .select("doc_id", (F.col("doc_id") % 5).cast("int").alias("cluster_id"))
+    )
+
+
+@_register("kg_pipeline_clustered", _SQL_KG_CLUSTERED_ORACLE)
+def q_kg_pipeline_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline with the CLUSTERED leg on (exact similarity
+    strategy, canonicalization, definitions, fixed assignments) ->
+    per-predicate triple counts incl. in_cluster, hash-matched against
+    the composed SQL derivation (reference EP3 clusters
+    unconditionally, semantic_analyzer.py:161)."""
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    d = _docs(spark, sf_dir)
+    res = run_pipeline(
+        spark,
+        d,
+        PipelineConfig(
+            similarity_strategy="exact",
+            similarity_round_dp=6,
+            created_at="2026-01-01T00:00:00",
+            with_clusters=True,
+            fixed_cluster_assignments=_fixed_assignments(spark, sf_dir),
+        ),
+    )
+    return res["triples"].groupBy("pred").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q45 — the composed clusters RELATION from the clustered pipeline
+# (summaries join coherence, plans/pipeline.py): labels, sizes and the
+# reference-semantics coherence (mean positive intra-cluster pairwise
+# cosine; <2 docs -> 1.0; none positive -> 0.0) hash-matched against
+# the SQL re-derivation under the same fixed assignments
+# ---------------------------------------------------------------------------
+_SQL_CLUSTER_RELATION = f"""
+WITH {_SQL_TFIDF.lstrip()},
+assign AS (
+    SELECT DISTINCT doc_id, (doc_id % 5)::INT AS cluster_id FROM tfidf
+),
+term_means AS (
+    SELECT a.cluster_id, t.term, avg(t.weight) AS mean_w
+    FROM assign a JOIN tfidf t ON a.doc_id = t.doc_id
+    GROUP BY a.cluster_id, t.term
+),
+ranked AS (
+    SELECT cluster_id, term,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY round(mean_w, 9) DESC, term ASC) AS rnk
+    FROM term_means
+),
+tops AS (
+    SELECT cluster_id, list(term ORDER BY rnk) AS terms
+    FROM ranked WHERE rnk <= 10
+    GROUP BY cluster_id
+),
+members AS (
+    SELECT cluster_id, count(*)::BIGINT AS n_documents
+    FROM assign GROUP BY cluster_id
+),
+pair_sims AS (
+    SELECT a1.cluster_id,
+           round(sum(t1.weight * t2.weight), 6) AS s
+    FROM tfidf t1
+    JOIN assign a1 ON t1.doc_id = a1.doc_id
+    JOIN assign a2 ON a2.cluster_id = a1.cluster_id
+                   AND a2.doc_id > a1.doc_id
+    JOIN tfidf t2 ON t2.doc_id = a2.doc_id AND t2.term = t1.term
+    GROUP BY a1.cluster_id, t1.doc_id, t2.doc_id
+),
+coh AS (
+    SELECT cluster_id, avg(s) AS c
+    FROM pair_sims WHERE s > 0 GROUP BY cluster_id
+)
+SELECT m.cluster_id,
+       array_to_string(
+           list_transform(t.terms[1:3],
+                          w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+           ' & ') AS cluster_label,
+       m.n_documents,
+       round(CASE WHEN m.n_documents < 2 THEN 1.0
+                  ELSE coalesce(coh.c, 0.0) END,
+             6)::DECIMAL(18, 6)::VARCHAR AS coherence
+FROM members m
+JOIN tops t USING (cluster_id)
+LEFT JOIN coh USING (cluster_id)
+ORDER BY m.cluster_id
+"""
+
+
+@_register("cluster_relation_fixed", _SQL_CLUSTER_RELATION)
+def q_cluster_relation_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """res["clusters"] from the clustered pipeline under fixed
+    assignments — the ONLY previously-untested join in the DAG
+    (cluster_summaries ⋈ cluster_coherence, plans/pipeline.py), now
+    gated: label, size and reference-semantics coherence all
+    hash-match DuckDB."""
+    from pdf_knowledge_extractor_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    d = _docs(spark, sf_dir)
+    res = run_pipeline(
+        spark,
+        d,
+        PipelineConfig(
+            similarity_strategy="exact",
+            similarity_round_dp=6,
+            created_at="2026-01-01T00:00:00",
+            with_clusters=True,
+            fixed_cluster_assignments=_fixed_assignments(spark, sf_dir),
+        ),
+    )
+    return (
+        res["clusters"]
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "cluster_label",
+            F.col("n_documents").cast("long").alias("n_documents"),
+            F.round("coherence_score", 6)
+            .cast("decimal(18,6)")
+            .cast("string")
+            .alias("coherence"),
+        )
+        .orderBy("cluster_id")
     )

@@ -135,10 +135,141 @@ def cluster_summaries(
 
 
 def cluster_coherence(
+    assignments: DataFrame,
+    tfidf: DataFrame,
+    round_dp: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact reference semantics (_calculate_cluster_coherence,
+    semantic_analyzer.py:755-771), A10:
+
+    - a cluster with < 2 documents scores 1.0;
+    - otherwise the mean of ALL strictly-positive intra-cluster
+      pairwise cosines over the TF-IDF vectors (zero-cosine pairs —
+      no shared term — are excluded from the mean, exactly like the
+      reference's ``upper_tri[upper_tri > 0]``);
+    - 0.0 when no pair is positive.
+
+    Every cluster in ``assignments`` gets a row (no missing-key
+    fallback — the reference analyzer always computes the score).
+
+    Spark shape: a term self-join RESTRICTED within each cluster
+    (join keys (cluster_id, term)), so the pair enumeration is
+    block-diagonal — cost Σ_c Σ_t df²_{c,t}, the within-cluster
+    analog of the exact θ-join; a pair with a shared term always has
+    dot > 0 (tf-idf weights are positive), so the inner join IS the
+    positive-pair filter. ``max_df`` stop-lists ultra-common terms
+    from the pair join (the same bound as exact_cosine_pairs) for
+    corpora whose clusters are huge; ``round_dp`` rounds each pair
+    cosine before averaging (the cross-engine oracle convention).
+    A hot term inside a large cluster makes this join quadratic — at
+    scale use ``cluster_coherence_centroid`` (O(nnz), equal to this
+    whenever every pair shares a term; the pipeline exposes the
+    choice as PipelineConfig.coherence_mode).
+
+    Docs in ``assignments`` with no tfidf row (empty docs) count
+    toward cluster size but contribute no pairs — mirroring the
+    reference, whose vectorizer rows for such docs are all-zero and
+    produce only zero cosines.
+    """
+    t = tfidf
+    if max_df is not None and "df" in t.columns:
+        t = t.filter(F.col("df") <= max_df)
+    t = t.join(assignments, "doc_id")
+    a = t.select(
+        "cluster_id", F.col("doc_id").alias("doc1_id"),
+        "term", F.col("weight").alias("w1"),
+    )
+    b = t.select(
+        "cluster_id", F.col("doc_id").alias("doc2_id"),
+        "term", F.col("weight").alias("w2"),
+    )
+    sim = F.sum(F.col("w1") * F.col("w2"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    pair_sims = (
+        a.join(b, ["cluster_id", "term"])
+        .filter(F.col("doc1_id") < F.col("doc2_id"))
+        .groupBy("cluster_id", "doc1_id", "doc2_id")
+        .agg(sim.alias("_s"))
+        .filter(F.col("_s") > 0)
+    )
+    means = pair_sims.groupBy("cluster_id").agg(
+        F.avg("_s").alias("_mean")
+    )
+    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    return sizes.join(means, "cluster_id", "left").select(
+        "cluster_id",
+        F.when(F.col("_n") < 2, F.lit(1.0))
+        .otherwise(F.coalesce(F.col("_mean"), F.lit(0.0)))
+        .alias("coherence_score"),
+    )
+
+
+def cluster_coherence_centroid(
+    assignments: DataFrame, tfidf: DataFrame
+) -> DataFrame:
+    """O(nnz) scale path for cluster coherence via the centroid
+    identity: for L2-normalized member vectors u_i,
+
+        Σ_{i<j} u_i·u_j = (||Σ_i u_i||² − Σ_i ||u_i||²) / 2
+
+    so the mean over ALL C(m,2) vectorized-member pairs is computable
+    from one groupBy(cluster, term) + one groupBy(cluster) — no pair
+    enumeration, no df² blowup; this is the plan that survives 100×
+    (the exact `cluster_coherence` join costs Σ_c Σ_t df²_{c,t},
+    which a hot term in a large cluster turns quadratic).
+
+    Relation to the reference (semantic_analyzer.py:755-771): the
+    reference averages over strictly-POSITIVE pairs only. tf-idf
+    cosines are never negative, so this mean equals the reference's
+    exactly whenever every vectorized pair shares >= 1 term (the
+    common case on natural-language/code corpora with hot terms), and
+    is a LOWER BOUND otherwise (zero-cosine pairs stay in the
+    denominator). Singleton clusters score 1.0; clusters with < 2
+    vectorized members 0.0 — matching the exact operator."""
+    t = tfidf.join(assignments, "doc_id")
+    term_sums = t.groupBy("cluster_id", "term").agg(
+        F.sum("weight").alias("_sw")
+    )
+    ssq = term_sums.groupBy("cluster_id").agg(
+        F.sum(F.col("_sw") * F.col("_sw")).alias("_ssq")
+    )
+    per_doc = t.groupBy("cluster_id", "doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("_n2")
+    )
+    norms = per_doc.groupBy("cluster_id").agg(
+        F.sum("_n2").alias("_snorm"),
+        F.count("*").alias("_mv"),  # vectorized members
+    )
+    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    mv = F.col("_mv")
+    return (
+        sizes.join(ssq, "cluster_id", "left")
+        .join(norms, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.when(F.col("_n") < 2, F.lit(1.0))
+            .when(F.coalesce(mv, F.lit(0)) < 2, F.lit(0.0))
+            .otherwise(
+                (F.col("_ssq") - F.col("_snorm")) / (mv * (mv - 1))
+            )
+            .alias("coherence_score"),
+        )
+    )
+
+
+def cluster_coherence_from_pairs(
     assignments: DataFrame, similarity_pairs: DataFrame
 ) -> DataFrame:
-    """Mean intra-cluster pairwise similarity, reusing the J1 pair
-    table (A10)."""
+    """Scale-path APPROXIMATION of cluster_coherence that reuses the
+    already-materialized J1 pair table instead of a fresh
+    within-cluster join: averages only pairs >= the similarity
+    threshold, so it is upward-biased for clusters with qualifying
+    pairs and 0.0 for clusters without (vs the reference's true mean
+    over all positive cosines). Use when the exact within-cluster
+    join is too expensive and a threshold-restricted coherence is an
+    acceptable, DOCUMENTED deviation (PipelineConfig.coherence_from_pairs)."""
     a = assignments.select(
         F.col("doc_id").alias("doc1_id"), F.col("cluster_id").alias("c1")
     )

@@ -158,6 +158,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """MinHash banding dedup: K=num_hashes minhashes split into
     ``bands`` bands of K/bands rows; docs sharing any band hash become
@@ -179,12 +180,27 @@ def minhash_lsh_pairs(
     ``max_bucket_size``: the quadratic failure mode of banding is a
     DEGENERATE bucket — a band hash shared by thousands of docs
     (boilerplate shingles, tiny vocabularies) contributes |bucket|²
-    candidate pairs. The cap drops buckets larger than the limit
-    before the self-join (the standard production guard: members of a
-    huge bucket are near-identical boilerplate better handled by the
-    exact-fingerprint dedup path). None (default) keeps recall
-    guarantees for the oracle gate; set a few hundred at 100-TB
-    scale."""
+    candidate pairs. ``hot_bucket_mode`` picks the treatment of a
+    bucket over the cap:
+
+    - "star" (default): each hot-bucket member pairs with the bucket's
+      MINIMUM doc id only — O(|bucket|) candidates instead of
+      |bucket|². Dedup consumes these pairs as CONNECTIVITY (the
+      duplicate-group step is a connected-components pass over them),
+      and a star on the representative preserves exactly that: a true
+      near-dup family stays one component; a false-positive pile-up
+      costs |bucket| exact-Jaccard verifications that then fail —
+      linear waste, not quadratic. What star mode gives up is only the
+      non-representative PAIR list inside hot buckets, which dedup
+      never needed. (The similarity θ-join, whose contract IS the pair
+      list, uses the density-probe "verify" mode instead — see
+      similarity.minhash_blocked_cosine_pairs.)
+    - "drop": drop hot buckets entirely (round-3 behavior) —
+      fragments true dup families whose texts differ (mutated
+      boilerplate), leaving only exact-fingerprint recovery.
+
+    None (default cap) keeps full banding recall for the oracle gate;
+    set a few hundred at 100-TB scale."""
     rows_per_band = num_hashes // bands
     sets = _spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -218,13 +234,36 @@ def minhash_lsh_pairs(
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
+    star_parts = []
+    released = []
     if max_bucket_size is not None:
+        if hot_bucket_mode not in ("star", "drop"):
+            raise ValueError(f"unknown hot_bucket_mode: {hot_bucket_mode!r}")
+        # cache the narrow banded rows: census, anti-join and (in star
+        # mode) the representative join all read them
+        banded = banded.persist()
+        released.append(banded)
         hot_buckets = (
             banded.groupBy("band", "band_hash")
             .count()
             .filter(F.col("count") > max_bucket_size)
             .select("band", "band_hash")
         )
+        if hot_bucket_mode == "star":
+            hot_members = banded.join(
+                F.broadcast(hot_buckets), ["band", "band_hash"], "left_semi"
+            )
+            reps = hot_members.groupBy("band", "band_hash").agg(
+                F.min("doc_id").alias("_rep")
+            )
+            star_parts.append(
+                hot_members.join(F.broadcast(reps), ["band", "band_hash"])
+                .filter(F.col("doc_id") != F.col("_rep"))
+                .select(
+                    F.least("doc_id", "_rep").alias("doc1_id"),
+                    F.greatest("doc_id", "_rep").alias("doc2_id"),
+                )
+            )
         banded = banded.join(
             F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
         )
@@ -234,9 +273,10 @@ def minhash_lsh_pairs(
         b1.join(b2, ["band", "band_hash"])
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
-        .distinct()
-        .persist()
     )
+    for part in star_parts:
+        candidates = candidates.unionByName(part)
+    candidates = candidates.distinct().persist()
     # exact verify on candidates only: posting join over the shingle
     # lists of candidate docs (map-side count agg bounds the shuffle
     # by shared shingles, never full arrays per pair)
@@ -269,6 +309,7 @@ def minhash_lsh_pairs(
         .select("doc1_id", "doc2_id", "jaccard"),
         sets,
         candidates,
+        *released,
     )
 
 

@@ -154,9 +154,32 @@ def keyword_mentions(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def _context_expr(sents_col: str, mention_col: str):
+    """First sentence whose lowercase form contains the (lowercased)
+    mention text — _extract_context, semantic_analyzer.py:703-711.
+    try_element_at: legitimately null when the mention never appears
+    contiguously in the raw text (e.g. a bigram whose tokens were
+    adjacent only after stopword removal) — the reference stores no
+    context in that case either (`if context:` guard,
+    semantic_analyzer.py:427-428)."""
+    return F.try_element_at(
+        F.filter(
+            F.col(sents_col),
+            lambda s: F.contains(F.lower(s), F.lower(F.col(mention_col))),
+        ),
+        F.lit(1),
+    )
+
+
 def phrase_mentions(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Consecutive-token bigram phrases; importance = 0.4 + 0.1*2."""
+                    text_col: str = "text",
+                    with_context: bool = False) -> DataFrame:
+    """Consecutive-token bigram phrases; importance = 0.4 + 0.1*2.
+    ``with_context`` attaches the first containing sentence (the
+    reference extracts context for EVERY concept type,
+    semantic_analyzer.py:426); null when the bigram is not contiguous
+    in the raw text. The sentence split runs once per doc below the
+    explode, like keyword_mentions."""
     toks = keyword_tokens_nostop(F.col(text_col))
     n = F.size(toks)
     pairs = F.zip_with(
@@ -164,24 +187,52 @@ def phrase_mentions(docs: DataFrame, id_col: str = "doc_id",
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("text"))
+    pre_cols = [
+        F.col(id_col).alias("doc_id"),
+        F.explode(pairs).alias("text"),
+    ]
+    if with_context:
+        pre_cols.insert(
+            1, F.split(F.col(text_col), r"[.!?]\s+").alias("_sents")
+        )
+    out = (
+        docs.select(*pre_cols)
         .withColumn("concept_type", F.lit("phrase"))
         .withColumn("importance", F.lit(0.4 + 0.1 * 2))
     )
+    if with_context:
+        out = out.withColumn(
+            "context", _context_expr("_sents", "text")
+        ).drop("_sents")
+    return out
 
 
 def entity_mentions(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "content",
-                    lang_col: str = "lang") -> DataFrame:
-    """Code entity mention stream via the Arrow-batched detector."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_code_entities(F.col(text_col), F.col(lang_col))).alias("m"),
+                    lang_col: str = "lang",
+                    with_context: bool = False) -> DataFrame:
+    """Code entity mention stream via the Arrow-batched detector.
+    ``with_context`` attaches the first sentence containing the entity
+    (case-insensitive, matching _extract_context) — computed as a
+    column expression AFTER the UDF explode, so the Python side stays
+    detection-only."""
+    pre_cols = [
+        F.col(id_col).alias("doc_id"),
+        F.explode(_code_entities(F.col(text_col), F.col(lang_col))).alias("m"),
+    ]
+    if with_context:
+        pre_cols.insert(
+            1, F.split(F.col(text_col), r"[.!?]\s+").alias("_sents")
         )
-        .select("doc_id", "m.text", "m.concept_type", "m.importance")
+    out = docs.select(*pre_cols).select(
+        "doc_id", "m.text", "m.concept_type", "m.importance",
+        *(["_sents"] if with_context else []),
     )
+    if with_context:
+        out = out.withColumn(
+            "context", _context_expr("_sents", "text")
+        ).drop("_sents")
+    return out
 
 
 def all_mentions(docs: DataFrame, id_col: str = "doc_id",
@@ -190,16 +241,22 @@ def all_mentions(docs: DataFrame, id_col: str = "doc_id",
                  with_context: bool = False) -> DataFrame:
     """Union of the mention streams (semantic_analyzer.py:399-406).
 
-    ``with_context`` carries the keyword stream's context sentence
-    (phrase/entity mentions ship a null context — the reference only
-    extracts context for keyword concepts' ExtractedConcept records,
-    semantic_analyzer.py:434-442)."""
+    ``with_context`` carries a context sentence on EVERY stream —
+    keywords, phrases, and code entities — matching the reference,
+    which calls _extract_context for every concept type
+    (semantic_analyzer.py:426); individual mentions whose text never
+    appears contiguously in a sentence carry null, like the
+    reference's `if context:` guard storing nothing."""
     parts = [
         keyword_mentions(docs, id_col, text_col, with_context=with_context),
-        phrase_mentions(docs, id_col, text_col),
+        phrase_mentions(docs, id_col, text_col, with_context=with_context),
     ]
     if lang_col is not None and lang_col in docs.columns:
-        parts.append(entity_mentions(docs, id_col, text_col, lang_col))
+        parts.append(
+            entity_mentions(
+                docs, id_col, text_col, lang_col, with_context=with_context
+            )
+        )
     if with_context:
         parts = [
             p if "context" in p.columns

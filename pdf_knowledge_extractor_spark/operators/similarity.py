@@ -23,12 +23,15 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_THRESHOLD = 0.7
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_cosine_pairs(
@@ -133,7 +136,10 @@ def _doc_vectors(tfidf: DataFrame) -> DataFrame:
 
 
 def _rescore_candidates(
-    candidates: DataFrame, tfidf: DataFrame, threshold: float
+    candidates: DataFrame,
+    tfidf: DataFrame,
+    threshold: float,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact dot product for candidate pairs via map-side lookups:
     join the two compact doc vectors onto each candidate row (the
@@ -141,7 +147,8 @@ def _rescore_candidates(
     otherwise), then aggregate over the smaller map's entries —
     O(candidates * avg_terms) with no exploded shuffle, versus the
     naive candidate x term join that materializes |cand| * |terms|
-    rows."""
+    rows. ``keep_cols`` are passed through (used by the hot-bucket
+    density probe to keep the bucket key on sampled pairs)."""
     vec = _doc_vectors(tfidf)
     v1 = vec.select(F.col("doc_id").alias("doc1_id"), F.col("m").alias("m1"))
     v2 = vec.select(F.col("doc_id").alias("doc2_id"), F.col("m").alias("m2"))
@@ -157,7 +164,7 @@ def _rescore_candidates(
         .join(v2, "doc2_id")
         .withColumn("similarity_score", dot)
         .filter(F.col("similarity_score") >= threshold)
-        .select("doc1_id", "doc2_id", "similarity_score")
+        .select("doc1_id", "doc2_id", "similarity_score", *keep_cols)
     )
 
 
@@ -218,6 +225,10 @@ def minhash_blocked_cosine_pairs(
     num_hashes: int = 60,
     bands: int = 12,
     max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "verify",
+    hot_sample_docs: int = 24,
+    hot_min_precision: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
@@ -237,16 +248,53 @@ def minhash_blocked_cosine_pairs(
 
     ``max_bucket_size``: the quadratic failure mode of banding is a
     DEGENERATE bucket — one (band, band_hash) shared by thousands of
-    docs (boilerplate, tiny vocabularies) contributes |bucket|²
-    candidate pairs; measured superlinear at 600k rows on a 500-word
-    vocabulary before the cap existed. Buckets above the limit are
-    dropped with a broadcast left-anti join BEFORE the self-join (the
-    same guard as dedup.minhash_lsh_pairs) — their members are
-    near-identical boilerplate better handled by exact-fingerprint
-    dedup, and each doc still has ``bands - 1`` other chances to
-    collide with its true near-duplicates. None keeps full banding
-    recall (the oracle-parity setting); the pipeline default caps at a
-    few hundred (PipelineConfig.similarity_max_bucket).
+    docs contributes |bucket|² candidate pairs; measured superlinear
+    at 600k rows on a 500-word vocabulary before the cap existed. Hot
+    buckets come in two kinds with OPPOSITE correct treatments:
+
+    - FALSE-POSITIVE buckets (tiny vocabularies / hash pile-ups):
+      members are not actually similar, so the |bucket|² candidates
+      are wasted work — drop them (the 600k attribution control:
+      capped vs uncapped produced byte-identical triples because every
+      hot bucket was of this kind).
+    - TRUE-DENSE buckets (mutated-boilerplate families): members ARE
+      pairwise similar, so the |bucket|² pairs are real OUTPUT — the
+      quadratic work is output-bound and unavoidable for a complete
+      pair list; dropping silently loses true `similar_to` pairs that
+      exact-fingerprint dedup CANNOT recover (the texts differ).
+
+    ``hot_bucket_mode`` picks the treatment once a bucket exceeds
+    ``max_bucket_size``:
+
+    - "verify" (default): a density probe distinguishes the kinds —
+      sample ``hot_sample_docs`` members per hot bucket
+      (deterministic hash order), exactly rescore the ≤ C(s,2) sample
+      pairs, and keep the bucket's full pair set only when the sampled
+      fraction ≥ threshold is at least ``hot_min_precision``. Dense
+      buckets then contribute their (output-bound) pairs; sparse
+      buckets are dropped. Probe cost per hot bucket is O(s²) exact
+      rescores — bounded and tiny relative to either outcome.
+    - "drop": drop every hot bucket (round-3 behavior). Fastest, but
+      silently loses true pairs on corpora with dense near-dup
+      families; the recall cost is quantified in BENCH/BASELINE.md
+      (capped-vs-uncapped P/R on a boilerplate-heavy corpus).
+
+    None keeps full banding recall (the oracle-parity setting); the
+    pipeline default caps at a few hundred with mode "verify"
+    (PipelineConfig.similarity_max_bucket / similarity_hot_mode).
+
+    No silent caps: whenever the cap is active, the bucket census
+    (total / over-cap / kept-dense / dropped buckets, banded rows in
+    hot buckets) is logged and, if ``stats`` (a dict) is passed,
+    written into it — so capped runs are always distinguishable from
+    full-recall runs (the run_pipeline result carries this dict as
+    result["similarity_stats"]).
+
+    Cache lifecycle: the capped path persists the banded rows for the
+    census + probe + anti-join, then eagerly materializes the (small)
+    result pair table via localCheckpoint and releases the cache
+    (`_finalize`, as in the ann/dedup siblings) — repeated calls in a
+    long-lived session leak nothing.
     """
     rows_per_band = num_hashes // bands
     # one groupBy(doc) to gather the term set; signatures and band
@@ -285,34 +333,132 @@ def minhash_blocked_cosine_pairs(
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
-    if max_bucket_size is not None:
-        # persist the banded rows (3 narrow columns) so the bucket
-        # census and the anti-join probe don't each recompute the
-        # signature HOFs — the expensive subtree of this operator.
-        # Cache lifecycle: this operator returns a lazy plan that the
-        # pipeline materializes exactly once (similarities is itself
-        # persisted), so the cache lives for the job and is evicted
-        # LRU afterwards; callers looping this operator should
-        # spark.catalog.clearCache() between iterations (bench.py does)
-        banded = banded.persist()
-        hot_buckets = (
-            banded.groupBy("band", "band_hash")
-            .count()
-            .filter(F.col("count") > max_bucket_size)
-            .select("band", "band_hash")
+    def _self_join(rows: DataFrame) -> DataFrame:
+        b1 = rows.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
+        b2 = rows.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
+        return (
+            b1.join(b2, ["band", "band_hash"])
+            .filter(F.col("doc1_id") < F.col("doc2_id"))
+            .select("doc1_id", "doc2_id")
         )
-        banded = banded.join(
-            F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
+
+    if max_bucket_size is None:
+        return _rescore_candidates(
+            _self_join(banded).distinct(), tfidf, threshold
         )
-    b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
-    b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
-    candidates = (
-        b1.join(b2, ["band", "band_hash"])
-        .filter(F.col("doc1_id") < F.col("doc2_id"))
-        .select("doc1_id", "doc2_id")
-        .distinct()
+
+    if hot_bucket_mode not in ("verify", "drop"):
+        raise ValueError(f"unknown hot_bucket_mode: {hot_bucket_mode!r}")
+    from pyspark.sql import Window
+
+    from pdf_knowledge_extractor_spark.operators.ann import _finalize
+
+    # persist the banded rows (3 narrow columns): the census, the
+    # density probe and the anti-join all read them; recomputing the
+    # signature HOFs — the expensive subtree — per consumer would
+    # multiply the operator's cost. Released via _finalize below.
+    banded = banded.persist()
+    census = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_n")
     )
-    return _rescore_candidates(candidates, tfidf, threshold)
+    # eager census (one small job over the now-cached banded rows):
+    # the cap must never be silent — see the docstring
+    agg = census.agg(
+        F.count("*").alias("total"),
+        F.coalesce(
+            F.sum((F.col("_n") > max_bucket_size).cast("long")), F.lit(0)
+        ).alias("over"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_n") > max_bucket_size, F.col("_n")).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hot_rows"),
+    ).first()
+    n_over, n_hot_rows = int(agg["over"]), int(agg["hot_rows"])
+    info = {
+        "cap": max_bucket_size,
+        "mode": hot_bucket_mode,
+        "buckets_total": int(agg["total"]),
+        "buckets_over_cap": n_over,
+        "banded_rows_in_hot_buckets": n_hot_rows,
+        "dense_buckets_kept": 0,
+        "buckets_dropped": n_over,
+    }
+
+    hot_keys = census.filter(F.col("_n") > max_bucket_size).select(
+        "band", "band_hash"
+    )
+    cold = banded.join(
+        F.broadcast(hot_keys), ["band", "band_hash"], "left_anti"
+    )
+    candidates = _self_join(cold)
+
+    if hot_bucket_mode == "verify" and n_over > 0:
+        hot_members = banded.join(
+            F.broadcast(hot_keys), ["band", "band_hash"], "left_semi"
+        )
+        w = Window.partitionBy("band", "band_hash").orderBy(
+            F.xxhash64("doc_id"), "doc_id"
+        )
+        sample = hot_members.withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") <= hot_sample_docs)
+        s1 = sample.select(
+            "band", "band_hash", F.col("doc_id").alias("doc1_id")
+        )
+        s2 = sample.select(
+            "band", "band_hash", F.col("doc_id").alias("doc2_id")
+        )
+        sample_pairs = s1.join(s2, ["band", "band_hash"]).filter(
+            F.col("doc1_id") < F.col("doc2_id")
+        )
+        n_sample = sample_pairs.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_tot")
+        )
+        passed = _rescore_candidates(
+            sample_pairs, tfidf, threshold, keep_cols=("band", "band_hash")
+        )
+        n_pass = passed.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_ok")
+        )
+        # materialize the (tiny) dense-bucket key list once — it feeds
+        # a broadcast and the census log; eager so the probe jobs run
+        # exactly once against the cached banded rows
+        dense = (
+            n_sample.join(n_pass, ["band", "band_hash"], "left")
+            .filter(
+                F.coalesce(F.col("_ok"), F.lit(0))
+                >= F.lit(hot_min_precision) * F.col("_tot")
+            )
+            .select("band", "band_hash")
+            .localCheckpoint(eager=True)
+        )
+        n_dense = dense.count()
+        info["dense_buckets_kept"] = n_dense
+        info["buckets_dropped"] = n_over - n_dense
+        if n_dense > 0:
+            dense_members = banded.join(
+                F.broadcast(dense), ["band", "band_hash"], "left_semi"
+            )
+            candidates = candidates.unionByName(_self_join(dense_members))
+
+    log = _LOG.warning if info["buckets_dropped"] > 0 else _LOG.info
+    log(
+        "similarity banding cap %d (mode=%s): %d/%d buckets over cap "
+        "(%d banded rows), %d kept as verified-dense, %d dropped",
+        max_bucket_size,
+        hot_bucket_mode,
+        n_over,
+        info["buckets_total"],
+        n_hot_rows,
+        info["dense_buckets_kept"],
+        info["buckets_dropped"],
+    )
+    if stats is not None:
+        stats.update(info)
+    out = _rescore_candidates(candidates.distinct(), tfidf, threshold)
+    return _finalize(out, banded)
 
 
 def with_similarity_metadata(pairs: DataFrame) -> DataFrame:

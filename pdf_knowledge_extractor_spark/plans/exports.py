@@ -423,6 +423,8 @@ def export_csv_relations(relations: dict[str, DataFrame], out_dir: str) -> None:
     import pyspark.sql.types as T
 
     for name, df in relations.items():
+        if not isinstance(df, DataFrame):  # e.g. similarity_stats dict
+            continue
         flat = df
         for field in df.schema.fields:
             if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
@@ -435,6 +437,7 @@ def export_csv_relations(relations: dict[str, DataFrame], out_dir: str) -> None:
 def statistics_relation(relations: dict[str, DataFrame]) -> DataFrame:
     """K7 statistics.csv analog: one row per relation with its row
     count (computed distributed, unioned on the driver)."""
-    spark = next(iter(relations.values())).sparkSession
-    rows = [(name, df.count()) for name, df in relations.items()]
+    dfs = {n: d for n, d in relations.items() if isinstance(d, DataFrame)}
+    spark = next(iter(dfs.values())).sparkSession
+    rows = [(name, df.count()) for name, df in dfs.items()]
     return spark.createDataFrame(rows, "relation string, rows long")

@@ -83,16 +83,53 @@ class PipelineConfig:
     #  "lsh"     — BucketedRandomProjection blocking + exact rescore
     similarity_strategy: str = "minhash"
     # degenerate-bucket cap for the minhash blocker: a (band, band_hash)
-    # bucket larger than this is dropped before the candidate self-join
-    # (|bucket|² pairs otherwise — the measured superlinear blowup at
-    # 600k rows). Members of huge buckets are boilerplate handled by
-    # exact dedup; None disables (full banding recall, oracle setting).
+    # bucket larger than this holds |bucket|² candidate pairs — the
+    # measured superlinear blowup at 600k rows. None disables (full
+    # banding recall, oracle setting).
     similarity_max_bucket: int | None = 400
+    # what to do with a bucket over the cap (see
+    # similarity.minhash_blocked_cosine_pairs): "verify" density-probes
+    # each hot bucket and keeps the ones whose sampled pairs really are
+    # similar (true mutated-boilerplate families — their pairs are
+    # output, not waste), dropping only false-positive pile-ups;
+    # "drop" drops all hot buckets (round-3 behavior — faster, but
+    # silently loses true pairs on boilerplate-heavy corpora; recall
+    # cost quantified in BENCH/BASELINE.md). Either way the bucket
+    # census lands in result["similarity_stats"] and the log.
+    similarity_hot_mode: str = "verify"
     lsh_hash_tables: int = 4
     lsh_dims: int = 1 << 12         # hashed term space for blocking only
                                     # (rescoring is exact; raise to 2^16+
                                     # for vocabularies >> 100k terms)
     with_clusters: bool = False     # KMeans adds driver-side loop; opt-in
+    # pin k to skip the silhouette search loop (one distributed fit
+    # instead of up to 9 — what a production run at known k does);
+    # None searches k in 2..10 by silhouette like the reference
+    cluster_k: int | None = None
+    # feature-hash dims for the CLUSTERING vectors (KMeans centroids
+    # are dense: the broadcast model is k * dims * 8 bytes, and every
+    # distance eval scans dims — 2^14 keeps the model ~1 MB at k=8
+    # with negligible collisions for vocabularies << 16k terms; raise
+    # for richer vocabularies)
+    cluster_dims: int = 1 << 14
+    # test/oracle hook: inject deterministic (doc_id, cluster_id)
+    # assignments instead of running KMeans, so the ENTIRE clustered
+    # composition (summaries + coherence join + in_cluster triples) is
+    # SQL-derivable and oracle-gated (entry_queries kg_pipeline_clustered
+    # / cluster_relation_fixed). None (default) clusters for real.
+    fixed_cluster_assignments: DataFrame | None = None
+    # how to compute cluster coherence (reference semantics: mean of
+    # ALL positive intra-cluster pairwise cosines, singletons 1.0 —
+    # semantic_analyzer.py:755-771):
+    #  "exact"    — within-cluster term join; bit-exact reference
+    #               semantics, cost Σ_c Σ_t df² (small/medium corpora,
+    #               the oracle setting)
+    #  "centroid" — O(nnz) centroid identity; equals "exact" whenever
+    #               every vectorized pair shares a term, lower bound
+    #               otherwise (the 100-TB setting)
+    #  "pairs"    — reuse the J1 pair table; threshold-restricted
+    #               approximation (documented deviation)
+    coherence_mode: str = "exact"
     with_entities: bool = True      # code-entity detectors if lang col
     canonicalize: bool = True       # alias canonicalization before cuts
     n_salts: int = 16
@@ -375,10 +412,13 @@ def run_pipeline(
     elif cfg.similarity_strategy == "prefix":
         pairs = prefix_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     elif cfg.similarity_strategy == "minhash":
+        sim_stats: dict = {}
         pairs = minhash_blocked_cosine_pairs(
             tfidf,
             threshold=cfg.similarity_threshold,
             max_bucket_size=cfg.similarity_max_bucket,
+            hot_bucket_mode=cfg.similarity_hot_mode,
+            stats=sim_stats,
         )
     else:
         pairs = exact_cosine_pairs(
@@ -415,7 +455,7 @@ def run_pipeline(
     )
     edges = edges.unionByName(rel_edges)
 
-    result: dict[str, DataFrame] = {
+    result: dict[str, DataFrame] = {  # type: ignore[assignment]
         "documents": enriched,
         "mentions": mentions,
         "tfidf": tfidf,
@@ -425,6 +465,10 @@ def run_pipeline(
         "nodes": nodes,
         "edges": edges,
     }
+    if cfg.similarity_strategy == "minhash":
+        # plain dict, not a DataFrame: the banding-cap census (no
+        # silent caps — empty when the cap never engaged)
+        result["similarity_stats"] = sim_stats
 
     triple_parts = [
         T3.edge_triples(edges),
@@ -443,17 +487,33 @@ def run_pipeline(
     if cfg.with_clusters:
         from pdf_knowledge_extractor_spark.operators.clustering import (
             cluster_coherence,
+            cluster_coherence_centroid,
+            cluster_coherence_from_pairs,
             cluster_documents,
             cluster_summaries,
         )
 
-        vectors = to_ml_vectors(tfidf)
-        assignments, k, silhouette = cluster_documents(vectors)
-        # coherence = mean intra-cluster pairwise similarity (reference
-        # :755-771), reusing the J1 pair table; clusters with no
-        # intra-cluster pair above threshold default to 0 like the
-        # reference's .get('coherence_score', 0)
-        coherence = cluster_coherence(assignments, similarities)
+        if cfg.fixed_cluster_assignments is not None:
+            assignments = cfg.fixed_cluster_assignments
+        else:
+            vectors = to_ml_vectors(tfidf, vocab_size=cfg.cluster_dims)
+            assignments, _k, _sil = cluster_documents(
+                vectors, k=cfg.cluster_k
+            )
+        # coherence = mean of all positive intra-cluster pairwise
+        # cosines, singletons 1.0 (reference :755-771); see
+        # PipelineConfig.coherence_mode for the exact/centroid/pairs
+        # trade-off
+        if cfg.coherence_mode == "pairs":
+            coherence = cluster_coherence_from_pairs(
+                assignments, similarities
+            )
+        elif cfg.coherence_mode == "centroid":
+            coherence = cluster_coherence_centroid(assignments, tfidf)
+        else:
+            coherence = cluster_coherence(
+                assignments, tfidf, round_dp=cfg.similarity_round_dp
+            )
         result["clusters"] = (
             cluster_summaries(assignments, tfidf)
             .join(coherence, "cluster_id", "left")

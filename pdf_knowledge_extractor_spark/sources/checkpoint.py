@@ -211,5 +211,10 @@ def run_pipeline_checkpointed(
     out["triples"] = cp.stage("triples", fp, lambda: res["triples"],
                               partition_by=["pred"])
     cp.record_metric("triples", "rows", out["triples"].count())
+    # banding-cap census into the metrics table: capped runs must be
+    # distinguishable from full-recall runs in the durable record
+    for k, v in (res.get("similarity_stats") or {}).items():
+        if isinstance(v, (int, float)):
+            cp.record_metric("similarities", f"banding_{k}", v)
     out["_checkpoint"] = cp
     return out

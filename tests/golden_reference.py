@@ -171,6 +171,52 @@ def golden_similarities(docs, threshold=0.7):
     return out
 
 
+def golden_cluster_coherence(docs, assignments):
+    """Reference _calculate_cluster_coherence
+    (semantic_analyzer.py:755-771), independently re-derived: per
+    cluster, 1.0 when < 2 docs; else the mean of the strictly-positive
+    upper-triangle pairwise cosines of the member TF-IDF vectors
+    (token-less docs are all-zero rows -> only zero cosines, which the
+    positive filter excludes); 0.0 when no positive pair exists.
+
+    ``docs``: [(doc_id, text, lang)], ``assignments``:
+    {doc_id: cluster_id}. Returns {cluster_id: coherence}."""
+    import numpy as np
+
+    n = len(docs)
+    tokens = {d: keyword_tokens(t) for d, t, _ in docs}
+    nonempty = {d: t for d, t in tokens.items() if t}
+    vocab = sorted({w for ts in nonempty.values() for w in ts})
+    vidx = {w: i for i, w in enumerate(vocab)}
+    df = Counter()
+    for ts in nonempty.values():
+        for w in set(ts):
+            df[w] += 1
+    vecs = {}
+    for d, _, _ in docs:
+        v = np.zeros(len(vocab))
+        for w, tf in Counter(tokens.get(d, [])).items():
+            v[vidx[w]] = (1.0 + math.log(tf)) * math.log(n / df[w])
+        nrm = np.linalg.norm(v)
+        vecs[d] = v / nrm if nrm > 0 else v
+    clusters = {}
+    for d, c in assignments.items():
+        clusters.setdefault(c, []).append(d)
+    out = {}
+    for c, members in clusters.items():
+        if len(members) < 2:
+            out[c] = 1.0
+            continue
+        sims = []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cos = float(vecs[members[i]] @ vecs[members[j]])
+                if cos > 0:
+                    sims.append(cos)
+        out[c] = float(np.mean(sims)) if sims else 0.0
+    return out
+
+
 def golden_sentiment(text: str):
     words = text.lower().split()
     pos = sum(1 for w in words if w in POSITIVE_WORDS)

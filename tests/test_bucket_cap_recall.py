@@ -1,0 +1,92 @@
+"""Bucket-cap recall gate (VERDICT r3 item 1, SURVEY §2 J1/F6 pair
+completeness): on a corpus with TRUE mutated-boilerplate near-dup
+families — clone groups whose texts all differ — the production
+similarity setting (cap + "verify" hot-bucket mode) plus
+exact-fingerprint dedup must retain >= 0.95 of the uncapped banding
+pair set. The legacy "drop" mode is measured alongside to keep its
+recall cost on the record (it was the round-3 default; its defense
+"hot-bucket members belong to exact dedup" fails here because no two
+member texts are identical)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf_knowledge_extractor_spark.corpus import generate_corpus
+from pdf_knowledge_extractor_spark.operators.mentions import keyword_mentions
+from pdf_knowledge_extractor_spark.operators.similarity import (
+    minhash_blocked_cosine_pairs,
+)
+from pdf_knowledge_extractor_spark.operators.tfidf import tfidf_longform
+
+
+def _pairs(df):
+    return df.select("doc1_id", "doc2_id")
+
+
+def test_cap_plus_exact_dedup_recall_on_boilerplate_corpus(spark):
+    cap = 50
+    corpus = generate_corpus(
+        spark, 6000, boilerplate_fraction=0.10, boilerplate_families=3
+    ).persist()
+    n_docs = corpus.count()
+    fam = corpus.filter(F.col("bp_family") >= 0).groupBy("bp_family").count()
+    assert all(r["count"] > cap for r in fam.collect()), (
+        "families must exceed the cap for the experiment to bite"
+    )
+
+    km = keyword_mentions(corpus, "doc_id", "content")
+    tfidf = tfidf_longform(
+        km.select("doc_id", "text"), n_docs=n_docs, normalize=True
+    ).persist()
+    tfidf.count()
+
+    uncapped = minhash_blocked_cosine_pairs(tfidf, 0.7).persist()
+    n_uncapped = uncapped.count()
+    assert n_uncapped > 1000, "families must produce true near-dup pairs"
+
+    stats_v: dict = {}
+    verified = minhash_blocked_cosine_pairs(
+        tfidf, 0.7, max_bucket_size=cap, hot_bucket_mode="verify",
+        stats=stats_v,
+    ).persist()
+    stats_d: dict = {}
+    dropped = minhash_blocked_cosine_pairs(
+        tfidf, 0.7, max_bucket_size=cap, hot_bucket_mode="drop",
+        stats=stats_d,
+    ).persist()
+    assert stats_v["buckets_over_cap"] > 0, "cap must have engaged"
+    assert stats_v["dense_buckets_kept"] > 0, (
+        "true families must pass the density probe"
+    )
+
+    # exact-fingerprint dup pairs (the identical-text recovery channel)
+    fps = corpus.select(
+        "doc_id", F.md5(F.trim(F.lower("content"))).alias("_fp")
+    )
+    exact_pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "_fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1_id"),
+            F.col("b.doc_id").alias("doc2_id"),
+        )
+    )
+
+    def recall(capped_df):
+        combined = _pairs(capped_df).unionByName(exact_pairs).distinct()
+        inter = combined.intersect(_pairs(uncapped)).count()
+        return inter / n_uncapped
+
+    r_verify = recall(verified)
+    r_drop = recall(dropped)
+    assert r_verify >= 0.95, (
+        f"combined (verify-cap + exact dedup) recall {r_verify:.4f} < 0.95"
+    )
+    # the quantified cost of the legacy drop mode, kept on the record:
+    # it must lose the hot-bucket families (that is WHY verify exists)
+    assert r_drop < r_verify, (
+        f"drop {r_drop:.4f} vs verify {r_verify:.4f}: experiment corpus "
+        "no longer exercises the cap"
+    )

@@ -11,9 +11,6 @@ from pdf_knowledge_extractor_spark.operators.clustering import (
     cluster_summaries,
 )
 from pdf_knowledge_extractor_spark.operators.mentions import keyword_mentions
-from pdf_knowledge_extractor_spark.operators.similarity import (
-    exact_cosine_pairs,
-)
 from pdf_knowledge_extractor_spark.operators.tfidf import (
     tfidf_longform,
     to_ml_vectors,
@@ -86,8 +83,85 @@ def test_cluster_summaries_shape(clustered):
 
 def test_cluster_coherence_high_for_pure_clusters(clustered):
     corpus, tfidf, assignments, _, _ = clustered
-    pairs = exact_cosine_pairs(tfidf, threshold=0.0)
-    coh = cluster_coherence(assignments, pairs).collect()
+    coh = cluster_coherence(assignments, tfidf).collect()
     assert coh
     for r in coh:
         assert r["coherence_score"] > 0.3
+
+
+def test_centroid_coherence_equals_exact_when_pairs_share_terms(clustered):
+    """The O(nnz) centroid identity must equal the exact within-cluster
+    join whenever every vectorized pair shares a term (all topic docs
+    share their topic vocabulary + 'common filler'), and be a lower
+    bound in general."""
+    from pdf_knowledge_extractor_spark.operators.clustering import (
+        cluster_coherence_centroid,
+    )
+
+    _, tfidf, assignments, _, _ = clustered
+    exact = {
+        r["cluster_id"]: r["coherence_score"]
+        for r in cluster_coherence(assignments, tfidf).collect()
+    }
+    cent = {
+        r["cluster_id"]: r["coherence_score"]
+        for r in cluster_coherence_centroid(assignments, tfidf).collect()
+    }
+    assert set(exact) == set(cent)
+    for c in exact:
+        assert abs(exact[c] - cent[c]) < 1e-9, (c, exact[c], cent[c])
+
+
+def test_cluster_coherence_matches_reference_semantics(spark):
+    """ADVICE r3 (medium): coherence must equal the reference's
+    _calculate_cluster_coherence — mean of ALL positive intra-cluster
+    pairwise cosines (not just pairs >= the similarity threshold),
+    singleton clusters 1.0 — verified against an independent numpy
+    re-derivation, including a cluster whose cohesion is entirely
+    sub-threshold and a singleton."""
+    from tests.golden_reference import golden_cluster_coherence
+
+    rows = [
+        # cluster 0: tight near-dups (high coherence)
+        (0, "alpha beta gamma delta epsilon zeta", "python"),
+        (1, "alpha beta gamma delta epsilon sigma", "python"),
+        (2, "alpha beta gamma delta epsilon tau", "python"),
+        # cluster 1: weakly-related docs — every pairwise cosine is
+        # positive but << 0.7 (the old pair-table approximation
+        # reported 0.0 here; the reference reports the true mean)
+        (3, "piano violin filler common words here", "python"),
+        (4, "piano cello other shared tokens again", "python"),
+        (5, "piano trumpet more unrelated payload text", "python"),
+        # cluster 2: singleton -> 1.0
+        (6, "completely isolated document body", "python"),
+        # cluster 3: two docs with NO shared term -> no positive pair
+        # -> 0.0
+        (7, "uniqueworda uniquewordb uniquewordc", "python"),
+        (8, "uniquewordx uniquewordy uniquewordz", "python"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    assign = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2, 7: 3, 8: 3}
+    assignments = spark.createDataFrame(
+        list(assign.items()), "doc_id long, cluster_id int"
+    )
+    km = keyword_mentions(docs)
+    tfidf = tfidf_longform(km.select("doc_id", "text"), n_docs=len(rows))
+    got = {
+        r["cluster_id"]: r["coherence_score"]
+        for r in cluster_coherence(assignments, tfidf).collect()
+    }
+    expected = golden_cluster_coherence(
+        [(i, t, lg) for i, t, lg in rows], assign
+    )
+    assert set(got) == set(expected)
+    for c in expected:
+        assert abs(got[c] - expected[c]) < 1e-9, (
+            c, got[c], expected[c],
+        )
+    assert got[2] == 1.0, "singleton cluster must score 1.0"
+    assert got[3] == 0.0, "no-positive-pair cluster must score 0.0"
+    assert 0.0 < got[1] < 0.7, (
+        "sub-threshold cluster must report its true positive mean"
+    )

@@ -85,8 +85,12 @@ def test_simhash_finds_near_dups(spark, small_corpus):
 
 
 def test_minhash_bucket_cap(spark):
-    """max_bucket_size drops degenerate band buckets (the |bucket|^2
-    candidate blowup guard) without touching normal pairs."""
+    """max_bucket_size bounds degenerate band buckets (the |bucket|^2
+    candidate blowup guard) without touching normal pairs. Default
+    "star" mode keeps each hot-bucket member connected to the bucket's
+    min-id representative (dedup grouping via connected components
+    stays intact, O(|bucket|) candidates); "drop" mode removes the
+    bucket entirely (round-3 behavior)."""
     import pyspark.sql.functions as F
 
     from pdf_knowledge_extractor_spark.operators.dedup import (
@@ -103,11 +107,23 @@ def test_minhash_bucket_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     uncapped = minhash_lsh_pairs(docs, threshold=0.5)
-    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
     n_unc = uncapped.count()
     assert n_unc >= 20 * 19 // 2 + 1  # boilerplate clique + the dup pair
-    got = {(r["doc1_id"], r["doc2_id"]) for r in capped.collect()}
+
+    dropped = minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket_size=10, hot_bucket_mode="drop"
+    )
+    got = {(r["doc1_id"], r["doc2_id"]) for r in dropped.collect()}
     # the boilerplate clique's buckets (20 members) were dropped;
     # the small near-dup pair survives
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got), got
+
+    starred = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    got = {(r["doc1_id"], r["doc2_id"]) for r in starred.collect()}
+    assert (100, 101) in got
+    # every clique member pairs with the representative (doc 0): the
+    # family remains ONE connected component...
+    assert {(0, i) for i in range(1, 20)} <= got
+    # ...while the quadratic non-representative pair list is gone
+    assert not any(a != 0 and b < 100 for a, b in got), got

@@ -53,12 +53,13 @@ def test_prefix_equals_exact(spark, small_corpus):
         assert abs(exact[k] - pref[k]) < 1e-9
 
 
-def test_minhash_bucket_cap_drops_boilerplate_keeps_neardups(spark):
-    """The degenerate-bucket guard (PipelineConfig.similarity_max_bucket):
-    a boilerplate cluster whose band buckets exceed the cap contributes
-    ZERO candidate pairs, while small near-dup buckets are untouched —
-    and with the cap off the operator still finds everything (the
-    oracle-parity setting)."""
+def test_minhash_bucket_cap_drop_mode(spark):
+    """The degenerate-bucket guard (PipelineConfig.similarity_max_bucket)
+    in "drop" mode: a cluster whose band buckets exceed the cap
+    contributes ZERO candidate pairs, while small near-dup buckets are
+    untouched — and with the cap off the operator still finds
+    everything (the oracle-parity setting). The census stats must
+    record the drop (no silent caps)."""
     from pdf_knowledge_extractor_spark.operators.similarity import (
         minhash_blocked_cosine_pairs,
     )
@@ -77,8 +78,12 @@ def test_minhash_bucket_cap_drops_boilerplate_keeps_neardups(spark):
     docs = spark.createDataFrame(rows, "doc_id string, content string")
     tfidf = _tfidf(docs)
 
+    stats: dict = {}
     capped = _pairs_dict(
-        minhash_blocked_cosine_pairs(tfidf, 0.5, max_bucket_size=10)
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.5, max_bucket_size=10, hot_bucket_mode="drop",
+            stats=stats,
+        )
     )
     uncapped = _pairs_dict(minhash_blocked_cosine_pairs(tfidf, 0.5))
     assert ("n1", "n2") in capped, "small near-dup bucket must survive"
@@ -87,6 +92,91 @@ def test_minhash_bucket_cap_drops_boilerplate_keeps_neardups(spark):
     ), "boilerplate bucket above the cap must be dropped"
     assert ("n1", "n2") in uncapped
     assert ("b00", "b01") in uncapped, "cap off keeps full recall"
+    assert stats["buckets_over_cap"] > 0
+    assert stats["buckets_dropped"] == stats["buckets_over_cap"]
+    assert stats["dense_buckets_kept"] == 0
+
+
+def test_minhash_bucket_cap_verify_mode(spark):
+    """"verify" (default) mode density-probes hot buckets: a TRUE-dense
+    family (identical texts => every pair passes the exact rescore) is
+    kept in full despite exceeding the cap, while a FALSE-positive hot
+    bucket (same term SET => same minhash signature, but skewed tf
+    weights => cosine below threshold) is dropped."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    base = ("kernel scheduler preempts threads across cores under "
+            "contention with fairness guarantees")
+    rows = [(f"d{i:02d}", base) for i in range(20)]  # true-dense family
+    # false-positive family: identical term set, tf skewed onto a
+    # different word per doc => same banding bucket, low pairwise cosine
+    fp_words = ["alpha", "bravo", "charlie", "delta", "echofox", "golfy",
+                "hotelz", "indiaq"]
+    for i in range(20):
+        hot = fp_words[i % len(fp_words)]
+        rows.append((f"f{i:02d}", " ".join(fp_words) + (" " + hot) * 12))
+    # filler so idf > 0 for the shared words
+    for i in range(30):
+        rows.append((f"z{i:02d}", f"unrelated filler number{i} payload "
+                                  f"words entropy{i} salt{i} random{i}"))
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    tfidf = _tfidf(docs)
+
+    stats: dict = {}
+    got = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.9, max_bucket_size=10, stats=stats
+        )
+    )
+    dense_pairs = {(a, b) for a, b in got if a.startswith("d")}
+    fp_pairs = {(a, b) for a, b in got if a.startswith("f")}
+    assert len(dense_pairs) == 20 * 19 // 2, (
+        "true-dense hot bucket must keep its full pair set"
+    )
+    assert not fp_pairs, "false-positive hot bucket must be dropped"
+    assert stats["dense_buckets_kept"] > 0
+    assert stats["buckets_dropped"] > 0
+
+
+def test_minhash_capped_releases_caches(spark, small_corpus):
+    """VERDICT r3 item 4: the capped path persists the banded rows
+    internally; looping the operator in a long-lived session must not
+    accumulate orphaned cached RDDs (the result is eagerly
+    localCheckpointed and the cache released via _finalize)."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    def persistent(sc):
+        out = {}
+        it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            out[int(e.getKey())] = e.getValue().toString()
+        return out
+
+    spark.catalog.clearCache()
+    tfidf = _tfidf(small_corpus)  # the test's own single persist
+    tfidf.count()
+    before = set(persistent(spark.sparkContext))
+    for _ in range(2):
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, max_bucket_size=5
+        ).count()
+    after = persistent(spark.sparkContext)
+    # the RESULT of each call is localCheckpointed (caller-owned; it
+    # stays in the persistent list while the JVM retains the query
+    # execution). What must NOT remain is any INTERNAL DataFrame cache
+    # (the banded rows) — _finalize releases those synchronously.
+    leaked = {
+        rid: desc
+        for rid, desc in after.items()
+        if rid not in before and "localCheckpoint" not in desc
+    }
+    assert not leaked, f"capped similarity path leaked caches: {leaked}"
+    tfidf.unpersist()
 
 
 def test_pipeline_concepts_carry_context(spark, small_corpus):
