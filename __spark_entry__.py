@@ -17,8 +17,13 @@ values re-computed by DuckDB's sha256()), and sessionize_stream (the
 applyInPandasWithState session operator driven as a real file-source
 streaming query, matched against the batch SQL fixpoint's closed
 sessions; likewise windowed_stream_counts and stream_user_counts for
-the watermark and running-counter operators). The one remaining
-rows-only query is
+the watermark and running-counter operators). Round 4 adds
+kg_pipeline_clustered (the with_clusters=True composition under
+deterministic injected assignments — per-predicate counts incl.
+in_cluster) and cluster_relation_fixed (the cluster_summaries ⋈
+cluster_coherence relation with reference-exact coherence semantics:
+mean positive intra-cluster pairwise cosine, singletons 1.0). The one
+remaining rows-only query is
 kmeans_summaries (cluster memberships are not SQL-derivable; its
 partition invariant and its summary logic are oracle-gated
 separately).

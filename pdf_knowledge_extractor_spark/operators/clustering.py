@@ -269,7 +269,7 @@ def cluster_coherence_from_pairs(
     pairs and 0.0 for clusters without (vs the reference's true mean
     over all positive cosines). Use when the exact within-cluster
     join is too expensive and a threshold-restricted coherence is an
-    acceptable, DOCUMENTED deviation (PipelineConfig.coherence_from_pairs)."""
+    acceptable, DOCUMENTED deviation (PipelineConfig.coherence_mode="pairs")."""
     a = assignments.select(
         F.col("doc_id").alias("doc1_id"), F.col("cluster_id").alias("c1")
     )
