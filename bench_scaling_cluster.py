@@ -27,6 +27,9 @@ ROWS = int(os.environ.get("PKE_SCALE_ROWS", "300000"))
 # degenerate-bucket cap for the similarity blocker; 0 = uncapped
 # (the round-2 configuration — used as the attribution control)
 MAX_BUCKET = int(os.environ.get("PKE_SCALE_MAX_BUCKET", "400")) or None
+# hot-bucket treatment: "verify" (round-4 default: density-probed) or
+# "drop" (round-3 behavior, the attribution-comparable setting)
+HOT_MODE = os.environ.get("PKE_SCALE_HOT_MODE", "verify")
 EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
 LEVELS = (
     int(os.environ.get("PKE_SCALE_N", "2")),
@@ -67,7 +70,8 @@ def measured_run(n_exec: int) -> dict:
     res = run_pipeline(
         spark, corpus,
         PipelineConfig(similarity_strategy="minhash",
-                       similarity_max_bucket=MAX_BUCKET),
+                       similarity_max_bucket=MAX_BUCKET,
+                       similarity_hot_mode=HOT_MODE),
         id_col="doc_id", text_col="content", lang_col="lang",
     )
     n_triples = res["triples"].count()
@@ -77,6 +81,8 @@ def measured_run(n_exec: int) -> dict:
         "executors": n_exec,
         "rows": ROWS,
         "max_bucket": MAX_BUCKET,
+        "hot_mode": HOT_MODE if MAX_BUCKET else None,
+        "similarity_stats": res.get("similarity_stats") or {},
         "triples": n_triples,
         "seconds": round(dt, 2),
         "triples_per_sec": round(n_triples / dt, 1),

@@ -333,6 +333,7 @@ def minhash_blocked_cosine_pairs(
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
+
     def _self_join(rows: DataFrame) -> DataFrame:
         b1 = rows.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
         b2 = rows.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
@@ -349,19 +350,34 @@ def minhash_blocked_cosine_pairs(
 
     if hot_bucket_mode not in ("verify", "drop"):
         raise ValueError(f"unknown hot_bucket_mode: {hot_bucket_mode!r}")
+    import os as _os
+    import time as _time
+
     from pyspark.sql import Window
 
     from pdf_knowledge_extractor_spark.operators.ann import _finalize
 
+    _dbg = _os.environ.get("PKE_SIM_DEBUG_TIMING")
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str):
+        if _dbg:
+            _LOG.warning(
+                "SIM-TIMING %s %.1fs", label, _time.perf_counter() - _t0
+            )
+
     # persist the banded rows (3 narrow columns): the census, the
     # density probe and the anti-join all read them; recomputing the
     # signature HOFs — the expensive subtree — per consumer would
-    # multiply the operator's cost. Released via _finalize below.
+    # multiply the operator's cost. The census is persisted too so
+    # hot-key BROADCASTS read a 6M-row cache instead of re-executing
+    # the groupBy shuffle inside each exchange. Both caches are
+    # released via _finalize below.
     banded = banded.persist()
     census = banded.groupBy("band", "band_hash").agg(
         F.count("*").alias("_n")
-    )
-    # eager census (one small job over the now-cached banded rows):
+    ).persist()
+    # eager census (one job materializes banded + census caches):
     # the cap must never be silent — see the docstring
     agg = census.agg(
         F.count("*").alias("total"),
@@ -386,14 +402,35 @@ def minhash_blocked_cosine_pairs(
         "buckets_dropped": n_over,
     }
 
-    hot_keys = census.filter(F.col("_n") > max_bucket_size).select(
-        "band", "band_hash"
+    if n_over == 0:
+        # no bucket over the cap: the anti-join, hot-key checkpoint
+        # and probe would all be no-ops — skip their jobs entirely
+        # (the common case on healthy corpora)
+        if stats is not None:
+            stats.update(info)
+        _LOG.info(
+            "similarity banding cap %d (mode=%s): no bucket over cap "
+            "(%d buckets)", max_bucket_size, hot_bucket_mode,
+            info["buckets_total"],
+        )
+        out = _rescore_candidates(
+            _self_join(banded).distinct(), tfidf, threshold
+        )
+        return _finalize(out, banded, census)
+
+    # materialize the (tiny) hot-key list ONCE so the anti-join and
+    # the probe's semi-join broadcast it without re-running the census
+    hot_keys = (
+        census.filter(F.col("_n") > max_bucket_size)
+        .select("band", "band_hash")
+        .localCheckpoint(eager=True)
     )
     cold = banded.join(
         F.broadcast(hot_keys), ["band", "band_hash"], "left_anti"
     )
     candidates = _self_join(cold)
 
+    _mark("census+hotkeys done")
     if hot_bucket_mode == "verify" and n_over > 0:
         hot_members = banded.join(
             F.broadcast(hot_keys), ["band", "band_hash"], "left_semi"
@@ -416,8 +453,18 @@ def minhash_blocked_cosine_pairs(
         n_sample = sample_pairs.groupBy("band", "band_hash").agg(
             F.count("*").alias("_tot")
         )
+        # restrict the probe rescore's doc-vector build to the SAMPLED
+        # docs (<= hot_sample_docs * n_hot rows, broadcastable):
+        # building maps for the whole corpus to score a few thousand
+        # sample pairs was another parallelism-independent fixed cost
+        probe_tfidf = tfidf.join(
+            F.broadcast(sample.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
         passed = _rescore_candidates(
-            sample_pairs, tfidf, threshold, keep_cols=("band", "band_hash")
+            sample_pairs, probe_tfidf, threshold,
+            keep_cols=("band", "band_hash"),
         )
         n_pass = passed.groupBy("band", "band_hash").agg(
             F.count("*").alias("_ok")
@@ -434,6 +481,7 @@ def minhash_blocked_cosine_pairs(
             .select("band", "band_hash")
             .localCheckpoint(eager=True)
         )
+        _mark("density probe done")
         n_dense = dense.count()
         info["dense_buckets_kept"] = n_dense
         info["buckets_dropped"] = n_over - n_dense
@@ -458,7 +506,9 @@ def minhash_blocked_cosine_pairs(
     if stats is not None:
         stats.update(info)
     out = _rescore_candidates(candidates.distinct(), tfidf, threshold)
-    return _finalize(out, banded)
+    out = _finalize(out, banded, census)
+    _mark("rescore+finalize done")
+    return out
 
 
 def with_similarity_metadata(pairs: DataFrame) -> DataFrame:

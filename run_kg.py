@@ -37,11 +37,22 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--max-bucket", type=int, default=400,
                     help="minhash blocker degenerate-bucket cap "
-                         "(0 disables; members of larger buckets are "
-                         "boilerplate handled by exact dedup)")
+                         "(0 disables)")
+    ap.add_argument("--hot-mode", default="verify",
+                    choices=["verify", "drop"],
+                    help="over-cap bucket treatment: 'verify' "
+                         "density-probes and keeps genuinely dense "
+                         "buckets (full pair recall on real near-dup "
+                         "families); 'drop' removes them outright")
     ap.add_argument("--no-context", action="store_true",
                     help="skip concept context-sentence extraction")
     ap.add_argument("--with-clusters", action="store_true")
+    ap.add_argument("--cluster-k", type=int, default=None,
+                    help="pin KMeans k (skips the silhouette search)")
+    ap.add_argument("--coherence", default="exact",
+                    choices=["exact", "centroid", "pairs"],
+                    help="cluster coherence mode (centroid = O(nnz) "
+                         "scale path)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[] cores; omit under spark-submit")
     args = ap.parse_args()
@@ -75,8 +86,11 @@ def main() -> None:
         similarity_strategy=args.strategy,
         similarity_threshold=args.threshold,
         similarity_max_bucket=args.max_bucket or None,
+        similarity_hot_mode=args.hot_mode,
         with_context=not args.no_context,
         with_clusters=args.with_clusters,
+        cluster_k=args.cluster_k,
+        coherence_mode=args.coherence,
     )
     t0 = time.perf_counter()
     if args.checkpoint:
