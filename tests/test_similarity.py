@@ -140,6 +140,30 @@ def test_minhash_bucket_cap_verify_mode(spark):
     assert stats["buckets_dropped"] > 0
 
 
+def test_minhash_cap_fast_path_when_no_hot_bucket(spark, small_corpus):
+    """With the cap set but NO bucket over it, the fast path (no
+    anti-join, no probe) must produce exactly the uncapped pair set
+    and still report the census (no silent caps)."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    tfidf = _tfidf(small_corpus)
+    stats: dict = {}
+    capped = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, max_bucket_size=10_000, stats=stats
+        )
+    )
+    uncapped = _pairs_dict(minhash_blocked_cosine_pairs(tfidf, 0.7))
+    assert stats["buckets_over_cap"] == 0
+    assert stats["buckets_total"] > 0
+    assert set(capped) == set(uncapped)
+    for k in capped:
+        assert abs(capped[k] - uncapped[k]) < 1e-12
+    tfidf.unpersist()
+
+
 def test_minhash_capped_releases_caches(spark, small_corpus):
     """VERDICT r3 item 4: the capped path persists the banded rows
     internally; looping the operator in a long-lived session must not
