@@ -97,6 +97,15 @@ class PipelineConfig:
     # cost quantified in BENCH/BASELINE.md). Either way the bucket
     # census lands in result["similarity_stats"] and the log.
     similarity_hot_mode: str = "verify"
+    # banding shape for the minhash blocker: candidate recall for a
+    # pair with term-set Jaccard j is 1-(1-j^r)^b with r =
+    # num_hashes/bands. The default (60/12 -> r=5) holds recall
+    # >= 0.95 down to j ≈ 0.7; corpora whose true near-dups live at
+    # lower Jaccard (heavily-mutated boilerplate — see the
+    # recall-boundary sweep in BENCH/BASELINE.md) should raise bands
+    # (e.g. 64/16 -> r=4) at the cost of more candidate collisions
+    similarity_num_hashes: int = 60
+    similarity_bands: int = 12
     lsh_hash_tables: int = 4
     lsh_dims: int = 1 << 12         # hashed term space for blocking only
                                     # (rescoring is exact; raise to 2^16+
@@ -416,6 +425,8 @@ def run_pipeline(
         pairs = minhash_blocked_cosine_pairs(
             tfidf,
             threshold=cfg.similarity_threshold,
+            num_hashes=cfg.similarity_num_hashes,
+            bands=cfg.similarity_bands,
             max_bucket_size=cfg.similarity_max_bucket,
             hot_bucket_mode=cfg.similarity_hot_mode,
             stats=sim_stats,

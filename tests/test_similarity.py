@@ -140,6 +140,51 @@ def test_minhash_bucket_cap_verify_mode(spark):
     assert stats["buckets_dropped"] > 0
 
 
+def test_family_pairs_survive_dropped_mixed_bucket_via_other_bands(spark):
+    """Why the verify path needs no partial-recovery mode for MIXED
+    buckets (a true family swamped inside a false-positive pile-up):
+    banding gives every pair `bands` independent chances, so family
+    members also collide in their own private sub-cap buckets of
+    OTHER bands. Dropping the mixed bucket (density probe fails —
+    most sampled pairs are pile-up members) must still leave the
+    family's pairs intact."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    # pile-up: 30 docs with the same term SET but tf skewed per doc
+    # (same signature bucket in every band, pairwise cosine < 0.9)
+    fp_words = ["alpha", "bravo", "charlie", "delta", "echofox",
+                "golfy", "hotelz", "indiaq"]
+    rows = []
+    for i in range(30):
+        hot = fp_words[i % len(fp_words)]
+        rows.append((f"f{i:02d}", " ".join(fp_words) + (" " + hot) * 12))
+    # true family of 4 near-identical docs that SHARE the pile-up's
+    # vocabulary (so they land in the pile-up's buckets) plus a
+    # private vocabulary (so they also form their own small buckets)
+    fam = " ".join(fp_words) + " kernel scheduler preempts threads fairness"
+    rows += [(f"d{i}", fam + f" tail{i % 2}") for i in range(4)]
+    for i in range(30):
+        rows.append((f"z{i:02d}", f"filler{i} entropy{i} salt{i} "
+                                  f"random{i} payload{i} words{i}"))
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    tfidf = _tfidf(docs)
+
+    stats: dict = {}
+    got = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.9, max_bucket_size=10, stats=stats
+        )
+    )
+    assert stats["buckets_dropped"] > 0, "mixed buckets must be dropped"
+    fam_pairs = {(a, b) for a, b in got if a.startswith("d")}
+    assert len(fam_pairs) == 4 * 3 // 2, (
+        f"family pairs lost with the mixed bucket: {sorted(got)}"
+    )
+    tfidf.unpersist()
+
+
 def test_minhash_cap_fast_path_when_no_hot_bucket(spark, small_corpus):
     """With the cap set but NO bucket over it, the fast path (no
     anti-join, no probe) must produce exactly the uncapped pair set
