@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pdf_knowledge_extractor_spark import entry_queries
 from pdf_knowledge_extractor_spark.corpus import generate_corpus
+from pdf_knowledge_extractor_spark.operators.ann import (
+    release_checkpointed_results,
+)
 from pdf_knowledge_extractor_spark.plans.pipeline import (
     PipelineConfig,
     run_pipeline,
@@ -134,6 +137,12 @@ def main() -> None:
 
     for name in HEADLINE:
         measure(name, lambda q=qs[name]: q(spark, sf_dir).count(), repeats)
+    # the dedup/similarity rows above localCheckpoint their result pair
+    # tables (_finalize); release the blocks now that they're counted —
+    # leftover checkpoint storage measurably taxed later rows (the
+    # round-4 sim_minhash_corpus 5.3->9.5s regression; attribution in
+    # BENCH/attrib_regression_r5.json)
+    release_checkpointed_results()
 
     # flagship: full KG pipeline over the synthetic code corpus.
     # Repeated runs re-plan and re-execute everything (fresh lineage);
@@ -147,6 +156,7 @@ def main() -> None:
     def run_kg():
         if state:
             spark.catalog.clearCache()
+            release_checkpointed_results()
         cfg = PipelineConfig(similarity_strategy="minhash")
         res = run_pipeline(
             spark, corpus, cfg, id_col="doc_id", text_col="content",
@@ -207,9 +217,11 @@ def main() -> None:
     # KMeans (k pinned to 8 — production runs at known k; the
     # silhouette search is a k-fold driver loop benched in pytest) +
     # cluster summaries + the O(nnz) centroid coherence + in_cluster
-    # triples, single pass (the composition row, not a median)
+    # triples. Median of `repeats` fresh passes (VERDICT r4 item 4 —
+    # the single-run recording was noise-limited for r4->r5 compares)
     def run_kg_clustered():
         spark.catalog.clearCache()
+        release_checkpointed_results()
         cfg = PipelineConfig(
             similarity_strategy="minhash",
             with_clusters=True,
@@ -224,7 +236,7 @@ def main() -> None:
         res["clusters"].count()
         return res
 
-    measure("kg_pipeline_clustered", run_kg_clustered, 1, record="last")
+    measure("kg_pipeline_clustered", run_kg_clustered, repeats)
 
     total = round(time.perf_counter() - t_total0, 3)
     print(

@@ -31,6 +31,12 @@ MAX_BUCKET = int(os.environ.get("PKE_SCALE_MAX_BUCKET", "400")) or None
 # "drop" (round-3 behavior, the attribution-comparable setting)
 HOT_MODE = os.environ.get("PKE_SCALE_HOT_MODE", "verify")
 EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
+# body-vocabulary policy for the synthetic corpus: "fixed" (legacy
+# 4,000-word vocabulary — densifies as N grows: df ∝ N, bucket
+# occupancy ∝ N, candidates ∝ N², a corpus artifact), "heaps"
+# (V = 30·√N — vocabulary grows with N like real corpora), or an
+# explicit integer size
+VOCAB = os.environ.get("PKE_SCALE_VOCAB", "fixed")
 LEVELS = (
     int(os.environ.get("PKE_SCALE_N", "2")),
     int(os.environ.get("PKE_SCALE_4N", "8")),
@@ -41,11 +47,21 @@ def measured_run(n_exec: int) -> dict:
     from pyspark.sql import SparkSession
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from pdf_knowledge_extractor_spark.corpus import generate_corpus
+    from pdf_knowledge_extractor_spark.corpus import (
+        generate_corpus,
+        heaps_vocab,
+    )
     from pdf_knowledge_extractor_spark.plans.pipeline import (
         PipelineConfig,
         run_pipeline,
     )
+
+    if VOCAB == "heaps":
+        n_vocab = heaps_vocab(ROWS)
+    elif VOCAB == "fixed":
+        n_vocab = None
+    else:
+        n_vocab = int(VOCAB)
 
     spark = (
         SparkSession.builder
@@ -66,7 +82,7 @@ def measured_run(n_exec: int) -> dict:
     generate_corpus(spark, 2000).count()
 
     t0 = time.perf_counter()
-    corpus = generate_corpus(spark, ROWS)
+    corpus = generate_corpus(spark, ROWS, n_vocab=n_vocab)
     res = run_pipeline(
         spark, corpus,
         PipelineConfig(similarity_strategy="minhash",
@@ -80,6 +96,8 @@ def measured_run(n_exec: int) -> dict:
     return {
         "executors": n_exec,
         "rows": ROWS,
+        "vocab": VOCAB,
+        "n_vocab": n_vocab or 4000,
         "max_bucket": MAX_BUCKET,
         "hot_mode": HOT_MODE if MAX_BUCKET else None,
         "similarity_stats": res.get("similarity_stats") or {},

@@ -15,4 +15,7 @@ docstrings identify the *semantics* being reproduced, Spark-first.
 
 __version__ = "0.1.0"
 
+from pdf_knowledge_extractor_spark.operators.ann import (  # noqa: F401
+    release_checkpointed_results,
+)
 from pdf_knowledge_extractor_spark.session import get_spark  # noqa: F401

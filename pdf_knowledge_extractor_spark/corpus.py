@@ -58,6 +58,15 @@ HOT_SYMBOL = "CommonUtil"
 HOT_FRACTION_MOD = 10  # ids with hash%10 < 3 => ~30% hot rows
 
 
+def heaps_vocab(n_rows: int, k: float = 30.0, beta: float = 0.5) -> int:
+    """Heaps'-law vocabulary size V = k·N^β for a corpus of ``n_rows``
+    documents (k=30, β=0.5 are mid-range published constants for
+    English/code corpora). Pass as ``generate_corpus(..., n_vocab=...)``
+    so scaling experiments grow vocabulary with N the way real corpora
+    do, instead of densifying a fixed vocabulary."""
+    return max(len(BODY_VOCAB), int(k * n_rows ** beta))
+
+
 def generate_corpus(
     spark: SparkSession,
     n_rows: int = 10_000,
@@ -67,6 +76,7 @@ def generate_corpus(
     boilerplate_fraction: float = 0.0,
     boilerplate_families: int = 4,
     boilerplate_mutation_permille: int = 30,
+    n_vocab: int | None = None,
 ) -> DataFrame:
     """-> DataFrame(repo, path, commit, lang, content, doc_id).
 
@@ -83,7 +93,20 @@ def generate_corpus(
     `similar_to` pairs. A `bp_family` column (family id, -1 for
     non-members) is added in this mode only, so experiments can
     compute family-level ground truth; the default mode's schema and
-    bytes are unchanged."""
+    bytes are unchanged.
+
+    ``n_vocab`` overrides the body-vocabulary size (default: the
+    4,000-word composed BODY_VOCAB, byte-identical to every previous
+    round). Real corpora grow vocabulary with size (Heaps' law,
+    V ≈ k·N^β with β ≈ 0.5); a FIXED vocabulary instead densifies as N
+    grows — every term's df rises ∝ N, band-bucket occupancy rises ∝ N
+    and candidate pairs ∝ N², which is a property of the synthetic
+    corpus, not of any engine. Scaling runs that want corpus-realistic
+    behavior should pass e.g. ``n_vocab=int(30 * sqrt(n_rows))``
+    (heaps_vocab helper below). Sizes beyond the composed list are
+    synthesized as ``tok<idx>`` words; the Zipf shape is preserved over
+    the full range, and the default size keeps the byte-identical
+    legacy corpus."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
     df = spark.range(0, n_rows, 1, partitions)
@@ -111,7 +134,8 @@ def generate_corpus(
 
     # --- content assembly -------------------------------------------------
     vocab = F.array(*[F.lit(w) for w in BODY_VOCAB])
-    n_vocab = len(BODY_VOCAB)
+    base_vocab = len(BODY_VOCAB)
+    V = n_vocab if n_vocab is not None else base_vocab
     # body from the PREVIOUS id for near-dup rows (id % 23 == 1 copies id-1)
     body_seed = F.when(rid % 23 == 1, rid - 1).otherwise(rid)
 
@@ -121,8 +145,17 @@ def generate_corpus(
         Zipfian term distribution: a few hot terms (skew/salting
         tests), a long rare tail (prefix-filter selectivity)."""
         u = (F.abs(F.xxhash64(seed_col, F.lit(salt), j)) % 1_000_000) / 1_000_000.0
-        idx = F.floor(F.pow(F.lit(float(n_vocab)), u)).cast("int")
-        return F.element_at(vocab, F.least(idx, F.lit(n_vocab - 1)) + 1)
+        idx = F.least(
+            F.floor(F.pow(F.lit(float(V)), u)).cast("int"),
+            F.lit(V - 1),
+        )
+        word = F.element_at(vocab, F.least(idx, F.lit(base_vocab - 1)) + 1)
+        if V <= base_vocab:
+            return word
+        # Heaps-scaled tail beyond the composed list: synthesized words
+        return F.when(idx < base_vocab, word).otherwise(
+            F.concat(F.lit("tok"), idx.cast("string"))
+        )
 
     pick_body_word = lambda j: zipf_word(body_seed, j)  # noqa: E731
     bp_family = F.lit(-1).cast("long")

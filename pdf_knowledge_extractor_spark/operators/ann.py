@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# JVM handles of the RDDs backing every localCheckpointed result
+# produced by _finalize, awaiting an explicit release. The checkpoint
+# blocks live in executor storage for the session lifetime otherwise —
+# spark.catalog.clearCache() does NOT remove them (it only walks the
+# DataFrame cache manager), so a long-lived session looping these
+# operators accumulates storage invisible to the usual cleanup path.
+_PENDING_CHECKPOINTS: list = []
+
+
+def _checkpoint_rdd(df: DataFrame):
+    """JVM handle of the RDD backing a localCheckpointed DataFrame
+    (its analyzed plan is a LogicalRDD whose ``rdd`` field holds the
+    checkpointed partitions)."""
+    return df._jdf.queryExecution().analyzed().rdd()
+
+
 def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize the (small) result via an eager localCheckpoint,
     then release the operator's internal caches — persisted
@@ -30,11 +46,40 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     fault-tolerant to executor loss); these results are top-k /
     near-dup pair tables, small enough that a lost-executor recompute
     from source is acceptable. For durable outputs, write the returned
-    DataFrame to a real sink."""
+    DataFrame to a real sink.
+
+    Lifecycle: the checkpoint blocks of the RESULT are registered in a
+    module-level list; call :func:`release_checkpointed_results` once
+    the results have been written to a sink / fully consumed, or the
+    blocks stay in executor storage for the session lifetime (they are
+    invisible to ``spark.catalog.clearCache()``)."""
     out = result.localCheckpoint(eager=True)
+    try:
+        _PENDING_CHECKPOINTS.append(_checkpoint_rdd(out))
+    except Exception:  # pragma: no cover
+        pass
     for df in cached:
         df.unpersist()
     return out
+
+
+def release_checkpointed_results() -> int:
+    """Unpersist the checkpoint blocks of every result `_finalize` has
+    produced since the last release (similarity / dedup / ann pair and
+    top-k tables). Call when those results are no longer needed — after
+    their sink write or final action; a released DataFrame must NOT be
+    used again (its lineage is truncated, so any later job fails loudly
+    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than recomputing).
+    Returns the number of checkpoints released."""
+    n = 0
+    while _PENDING_CHECKPOINTS:
+        jrdd = _PENDING_CHECKPOINTS.pop()
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _dot(a, b):

@@ -153,8 +153,12 @@ class PipelineConfig:
     # the "sentence" is the whole document). Feeds the concepts
     # relation + the JSON-LD description field.
     with_context: bool = True
-    # dct:created timestamp; None = now() like the reference exporter
-    # (data_analysis.py:1135-1137) — pin it for reproducible output
+    # dct:created timestamp. None (default) = a deterministic sentinel
+    # derived from the input snapshot (triples.snapshot_created_at), so
+    # two builds of the same input are byte-identical without opting
+    # in; pass an explicit ISO string for wall-clock export provenance
+    # (the reference stamps now() at export time,
+    # data_analysis.py:1135-1137 — that behavior is opt-in here)
     created_at: str | None = None
     # round similarity scores to this many dp before thresholding
     # (None = raw compare); the driver contract pins 6 so borderline

@@ -179,16 +179,26 @@ def run_pipeline_checkpointed(
 
     # resolve dct:created ONCE per (checkpoint, fingerprint) and persist
     # it — a resume that rebuilds a stage must emit the same dct:created
-    # triples as the original run, not a fresh now() (the reference only
-    # stamps at export time; a resumable pipeline needs the stamp to be
-    # part of the checkpointed state)
+    # triples as the original run (the stamp is part of the checkpointed
+    # state). Since round 5 the fresh-checkpoint stamp is the
+    # deterministic snapshot sentinel (triples.snapshot_created_at), not
+    # wall clock — the marker stays authoritative so checkpoints written
+    # by earlier rounds (wall-clock stamps) still resume byte-identical
     if cfg.created_at is None:
         marker = os.path.join(ckpt_dir, f"_created_at__{fp}")
         if os.path.exists(marker):
             with open(marker, encoding="utf-8") as fh:
                 created = fh.read().strip()
         else:
-            created = datetime.datetime.now().isoformat()
+            from pdf_knowledge_extractor_spark.plans.triples import (
+                snapshot_created_at,
+            )
+
+            created = snapshot_created_at(
+                docs.select(
+                    F.sha2(F.col(text_col), 256).alias("content_sha256")
+                )
+            )
             with open(marker, "w", encoding="utf-8") as fh:
                 fh.write(created)
         cfg = dataclasses.replace(cfg, created_at=created)

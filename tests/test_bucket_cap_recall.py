@@ -90,3 +90,45 @@ def test_cap_plus_exact_dedup_recall_on_boilerplate_corpus(spark):
         f"drop {r_drop:.4f} vs verify {r_verify:.4f}: experiment corpus "
         "no longer exercises the cap"
     )
+
+
+def _probe_stats(spark, mutation_permille):
+    corpus = generate_corpus(
+        spark, 4000, boilerplate_fraction=0.15, boilerplate_families=2,
+        boilerplate_mutation_permille=mutation_permille,
+    ).persist()
+    n = corpus.count()
+    km = keyword_mentions(corpus, "doc_id", "content")
+    tfidf = tfidf_longform(
+        km.select("doc_id", "text"), n_docs=n, normalize=True
+    ).persist()
+    tfidf.count()
+    stats: dict = {}
+    minhash_blocked_cosine_pairs(
+        tfidf, 0.7, max_bucket_size=30, hot_bucket_mode="verify",
+        stats=stats,
+    ).count()
+    tfidf.unpersist()
+    corpus.unpersist()
+    return stats
+
+
+def test_probe_banding_boundary_hint(spark):
+    """VERDICT r4 item 5: the offline recall sweep showed the BLOCKER
+    (not the cap) losing recall as family similarity approaches the
+    r=5/b=12 banding collision boundary. The density probe already
+    rescores sampled hot-bucket pairs exactly — its score distribution
+    is the ONLINE form of that signal. On a heavily-mutated
+    boilerplate corpus (9%/word — family cosines pushed toward the 0.7
+    threshold) the near-threshold mass must trip the hint; on the
+    standard 3%-mutation corpus (cosines ~0.8+) it must not."""
+    near = _probe_stats(spark, 90)
+    assert near["buckets_over_cap"] > 0, "cap must engage for the probe"
+    assert near["probe_sampled_pairs"] > 0
+    assert near["probe_near_threshold_frac"] >= 0.30
+    assert near["banding_boundary_hint"] is True
+
+    far = _probe_stats(spark, 30)
+    assert far["buckets_over_cap"] > 0
+    assert far["probe_near_threshold_frac"] < 0.30
+    assert far["banding_boundary_hint"] is False

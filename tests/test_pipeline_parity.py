@@ -92,6 +92,40 @@ def test_sha256_invariant(spark, small_corpus, pipeline_result):
     assert joined.count() == small_corpus.count()
 
 
+def test_build_twice_deterministic_with_defaults(spark, small_corpus):
+    """VERDICT r4 item 7: with ALL defaults (created_at=None), two
+    builds of the same input must produce the identical triple multiset
+    — dct:created now defaults to the snapshot sentinel
+    (triples.snapshot_created_at), not export wall clock."""
+    from pdf_knowledge_extractor_spark.plans.triples import (
+        snapshot_created_at,
+    )
+
+    def build():
+        res = run_pipeline(
+            spark, small_corpus,
+            PipelineConfig(similarity_strategy="exact"),
+            id_col="doc_id", text_col="content", lang_col="lang",
+        )
+        rows = sorted(
+            (r["subj"], r["pred"], r["obj"], round(r["weight"], 9))
+            for r in res["triples"].collect()
+        )
+        return rows
+
+    first, second = build(), build()
+    assert first == second
+    stamps = {o for _, p, o, _ in first if p == "dct:created"}
+    assert len(stamps) == 1
+    # the stamp is the snapshot sentinel — input-derived, not a clock
+    expected = snapshot_created_at(
+        small_corpus.select(
+            F.sha2(F.col("content"), 256).alias("content_sha256")
+        )
+    )
+    assert stamps == {expected}
+
+
 def test_triples_partitioned_write_roundtrip(spark, tmp_path, pipeline_result):
     from pdf_knowledge_extractor_spark.plans.triples import write_triples
 

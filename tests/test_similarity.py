@@ -210,15 +210,24 @@ def test_minhash_cap_fast_path_when_no_hot_bucket(spark, small_corpus):
 
 
 def test_minhash_capped_releases_caches(spark, small_corpus):
-    """VERDICT r3 item 4: the capped path persists the banded rows
-    internally; looping the operator in a long-lived session must not
-    accumulate orphaned cached RDDs (the result is eagerly
-    localCheckpointed and the cache released via _finalize)."""
+    """VERDICT r3 item 4 + r4 item 1: the capped path persists the
+    banded rows internally; looping the operator in a long-lived
+    session must not accumulate orphaned cached RDDs (the result is
+    eagerly localCheckpointed and the cache released via _finalize),
+    and after `release_checkpointed_results()` ZERO storage blocks may
+    survive beyond what existed before the loop — including the
+    checkpointed RDD blocks that `spark.catalog.clearCache()` cannot
+    see (the round-4 sim_minhash_corpus bench regression)."""
+    from pdf_knowledge_extractor_spark.operators.ann import (
+        release_checkpointed_results,
+    )
     from pdf_knowledge_extractor_spark.operators.similarity import (
         minhash_blocked_cosine_pairs,
     )
 
-    def persistent(sc):
+    sc = spark.sparkContext
+
+    def persistent():
         out = {}
         it = sc._jsc.getPersistentRDDs().entrySet().iterator()
         while it.hasNext():
@@ -226,15 +235,20 @@ def test_minhash_capped_releases_caches(spark, small_corpus):
             out[int(e.getKey())] = e.getValue().toString()
         return out
 
+    def stored_block_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
     spark.catalog.clearCache()
+    release_checkpointed_results()  # drain prior tests' results
     tfidf = _tfidf(small_corpus)  # the test's own single persist
     tfidf.count()
-    before = set(persistent(spark.sparkContext))
+    before = set(persistent())
+    before_blocks = stored_block_ids()
     for _ in range(2):
         minhash_blocked_cosine_pairs(
             tfidf, 0.7, max_bucket_size=5
         ).count()
-    after = persistent(spark.sparkContext)
+    after = persistent()
     # the RESULT of each call is localCheckpointed (caller-owned; it
     # stays in the persistent list while the JVM retains the query
     # execution). What must NOT remain is any INTERNAL DataFrame cache
@@ -245,6 +259,13 @@ def test_minhash_capped_releases_caches(spark, small_corpus):
         if rid not in before and "localCheckpoint" not in desc
     }
     assert not leaked, f"capped similarity path leaked caches: {leaked}"
+    # explicit release: both results' checkpoint blocks must vanish
+    # from executor storage (not just from the DataFrame cache manager)
+    assert release_checkpointed_results() == 2
+    leaked_blocks = stored_block_ids() - before_blocks
+    assert not leaked_blocks, (
+        f"checkpoint blocks survived release: rdd ids {leaked_blocks}"
+    )
     tfidf.unpersist()
 
 
