@@ -15,6 +15,18 @@ vectorized path:
   streams unioned into the pipeline's mention union (U1), flowing
   into concepts, TF-IDF-independent triples and the graph exactly
   like the built-in keyword/phrase/entity streams.
+- MEDIA_EMBEDDERS: name -> fn(data, kind, feature_dim) -> iterable of
+  list[float], where ``data``/``kind`` are pandas Series covering one
+  Arrow batch (operators/multimodal.py ships them from mapInPandas).
+  Batch-shaped on purpose: a real ONNX/torch encoder wants the whole
+  batch for vectorized inference, never a per-row Python call. The
+  deterministic ``byte_hash`` kernel (the sandbox default that the
+  oracle gate pins) registers itself in operators/multimodal.py; a
+  deployment registers its model under another name and selects it
+  via ``extract_media_features(..., embedder="my_cnn")`` — no plan
+  code changes. The kernel is captured into the UDF closure, so it
+  must be picklable and its weights/libraries shipped to executors
+  (--py-files / an initialized global per worker, the usual pattern).
 
 Wire-up: ``PipelineConfig.extra = {"preprocessing_pipeline": [...],
 "feature_extractors": [...]}`` (plans/pipeline.py). Hooks must be
@@ -30,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 
 PREPROCESSORS: dict[str, Callable[[Column], Column]] = {}
 MENTION_DETECTORS: dict[str, Callable[..., DataFrame]] = {}
+MEDIA_EMBEDDERS: dict[str, Callable] = {}
 
 
 def register_preprocessor(name: str):
@@ -51,6 +64,31 @@ def register_mention_detector(name: str):
         return fn
 
     return deco
+
+
+def register_media_embedder(name: str):
+    """Decorator: register a batch media-embedding kernel
+    ``fn(data: pd.Series[bytes], kind: pd.Series[str],
+    feature_dim: int) -> iterable of list[float]`` (one vector per
+    input row, in order)."""
+
+    def deco(fn: Callable):
+        MEDIA_EMBEDDERS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_media_embedder(name: str) -> Callable:
+    """Resolve a registered media embedder; raises KeyError with the
+    registered names at PLAN BUILD time (driver-side), not inside the
+    executor UDF where the failure would surface as a task error."""
+    if name not in MEDIA_EMBEDDERS:
+        raise KeyError(
+            f"unknown media embedder {name!r}; registered: "
+            f"{sorted(MEDIA_EMBEDDERS)}"
+        )
+    return MEDIA_EMBEDDERS[name]
 
 
 def apply_preprocessors(col: Column, names: list[str]) -> Column:
