@@ -349,6 +349,22 @@ def minhash_blocked_cosine_pairs(
         .withColumnRenamed("col", "band_hash")
     )
 
+    return _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
+                             hot_bucket_mode, hot_sample_docs,
+                             hot_min_precision, stats)
+
+
+# above this many hot (over-cap) buckets, the capped path stops
+# shipping the hot-key / dense-key lists through the driver as local
+# relations (the one-job fold) and keeps them distributed: ~100k
+# (band, band_hash) structs is a few MB on the driver — safe; an
+# adversarial corpus with millions of hot buckets is not
+_HOT_KEYS_LOCAL_MAX = 100_000
+
+
+def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
+                      hot_bucket_mode, hot_sample_docs,
+                      hot_min_precision, stats):
     def _self_join(rows: DataFrame) -> DataFrame:
         b1 = rows.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
         b2 = rows.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
@@ -401,20 +417,32 @@ def minhash_blocked_cosine_pairs(
     agg = census.agg(
         F.count("*").alias("total"),
         F.coalesce(
+            F.sum((F.col("_n") > max_bucket_size).cast("long")), F.lit(0)
+        ).alias("over"),
+        F.coalesce(
             F.sum(
                 F.when(F.col("_n") > max_bucket_size, F.col("_n")).otherwise(0)
             ),
             F.lit(0),
         ).alias("hot_rows"),
-        F.collect_list(
-            F.when(
-                F.col("_n") > max_bucket_size,
-                F.struct("band", "band_hash"),
-            )
+        # BOUNDED at the aggregation (slice caps the array the driver
+        # receives): n_over is bounded by banded_rows/cap in theory but
+        # an adversarial corpus can push it to millions — the exact
+        # `over` count above decides below whether the local-relation
+        # fast path is safe or the distributed hot-key join must run
+        F.slice(
+            F.collect_list(
+                F.when(
+                    F.col("_n") > max_bucket_size,
+                    F.struct("band", "band_hash"),
+                )
+            ),
+            1,
+            _HOT_KEYS_LOCAL_MAX + 1,
         ).alias("hot"),
     ).first()
     hot_list = list(agg["hot"])
-    n_over, n_hot_rows = len(hot_list), int(agg["hot_rows"])
+    n_over, n_hot_rows = int(agg["over"]), int(agg["hot_rows"])
     info = {
         "cap": max_bucket_size,
         "mode": hot_bucket_mode,
@@ -443,21 +471,35 @@ def minhash_blocked_cosine_pairs(
 
     # the hot-key list arrived with the census collect — ship it back
     # as a LOCAL relation (no job, no checkpoint blocks; broadcasts
-    # for free in the anti-/semi-joins below)
+    # for free in the anti-/semi-joins below). Pathological corpora
+    # (more hot keys than the slice bound) keep the keys DISTRIBUTED
+    # instead: the filtered census recomputes from the persisted
+    # banded cache per consumer — an extra cheap job each, paid only
+    # when a driver collect would be the real scale risk.
     spark = tfidf.sparkSession
-    hot_keys = spark.createDataFrame(
-        [(int(r["band"]), int(r["band_hash"])) for r in hot_list],
-        schema="band int, band_hash bigint",
-    )
-    cold = banded.join(
-        F.broadcast(hot_keys), ["band", "band_hash"], "left_anti"
-    )
+    extra_caches = []
+    if n_over <= _HOT_KEYS_LOCAL_MAX:
+        hot_keys = F.broadcast(spark.createDataFrame(
+            [(int(r["band"]), int(r["band_hash"])) for r in hot_list],
+            schema="band int, band_hash bigint",
+        ))
+    else:
+        _LOG.warning(
+            "similarity banding cap: %d hot buckets exceeds the "
+            "local-relation bound (%d) — using distributed hot-key "
+            "joins", n_over, _HOT_KEYS_LOCAL_MAX,
+        )
+        hot_keys = census.filter(
+            F.col("_n") > max_bucket_size
+        ).select("band", "band_hash").persist()
+        extra_caches.append(hot_keys)
+    cold = banded.join(hot_keys, ["band", "band_hash"], "left_anti")
     candidates = _self_join(cold)
 
     _mark("census+hotkeys done")
     if hot_bucket_mode == "verify" and n_over > 0:
         hot_members = banded.join(
-            F.broadcast(hot_keys), ["band", "band_hash"], "left_semi"
+            hot_keys, ["band", "band_hash"], "left_semi"
         )
         w = Window.partitionBy("band", "band_hash").orderBy(
             F.xxhash64("doc_id"), "doc_id"
@@ -497,35 +539,57 @@ def minhash_blocked_cosine_pairs(
         # histogram, collected together (was: eager dense checkpoint
         # + dense.count() — two more driver-serialized jobs)
         s = F.col("similarity_score")
-        probe_rows = (
-            scored.groupBy("band", "band_hash")
-            .agg(
-                F.count("*").alias("_tot"),
-                F.sum((s >= threshold).cast("long")).alias("_ok"),
-                F.sum(
-                    (
-                        (s >= threshold - 0.1) & (s < threshold)
-                    ).cast("long")
-                ).alias("_near_lo"),
-                F.sum(
-                    (
-                        (s >= threshold) & (s < threshold + 0.1)
-                    ).cast("long")
-                ).alias("_near_hi"),
-            )
-            .collect()
+        bucket_stats = scored.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_tot"),
+            F.sum((s >= threshold).cast("long")).alias("_ok"),
+            F.sum(
+                ((s >= threshold - 0.1) & (s < threshold)).cast("long")
+            ).alias("_near_lo"),
+            F.sum(
+                ((s >= threshold) & (s < threshold + 0.1)).cast("long")
+            ).alias("_near_hi"),
         )
-        _mark("density probe done")
-        dense_list = [
-            (int(r["band"]), int(r["band_hash"]))
-            for r in probe_rows
-            if r["_ok"] >= hot_min_precision * r["_tot"]
-        ]
-        n_dense = len(dense_list)
+        is_dense = F.col("_ok") >= F.lit(hot_min_precision) * F.col("_tot")
+        dense = None
+        if n_over <= _HOT_KEYS_LOCAL_MAX:
+            probe_rows = bucket_stats.collect()
+            _mark("density probe done")
+            dense_list = [
+                (int(r["band"]), int(r["band_hash"]))
+                for r in probe_rows
+                if r["_ok"] >= hot_min_precision * r["_tot"]
+            ]
+            n_dense = len(dense_list)
+            n_sampled = sum(r["_tot"] for r in probe_rows)
+            n_near = sum(
+                r["_near_lo"] + r["_near_hi"] for r in probe_rows
+            )
+            if n_dense > 0:
+                dense = F.broadcast(spark.createDataFrame(
+                    dense_list, schema="band int, band_hash bigint"
+                ))
+        else:
+            # pathological hot-bucket count: keep the per-bucket stats
+            # DISTRIBUTED — one persisted aggregate, one scalar job,
+            # dense keys as a filtered view (shuffle-joined below; a
+            # multi-million-row "broadcast" would be its own failure)
+            bucket_stats = bucket_stats.persist()
+            extra_caches.append(bucket_stats)
+            g = bucket_stats.agg(
+                F.coalesce(F.sum(is_dense.cast("long")), F.lit(0)),
+                F.coalesce(F.sum("_tot"), F.lit(0)),
+                F.coalesce(
+                    F.sum(F.col("_near_lo") + F.col("_near_hi")), F.lit(0)
+                ),
+            ).first()
+            _mark("density probe done (distributed)")
+            n_dense, n_sampled, n_near = (int(x) for x in g)
+            if n_dense > 0:
+                dense = bucket_stats.filter(is_dense).select(
+                    "band", "band_hash"
+                )
         info["dense_buckets_kept"] = n_dense
         info["buckets_dropped"] = n_over - n_dense
-        n_sampled = sum(r["_tot"] for r in probe_rows)
-        n_near = sum(r["_near_lo"] + r["_near_hi"] for r in probe_rows)
         info["probe_sampled_pairs"] = n_sampled
         info["probe_pairs_near_threshold"] = n_near
         near_frac = n_near / n_sampled if n_sampled else 0.0
@@ -547,12 +611,9 @@ def minhash_blocked_cosine_pairs(
                 "64 hashes / 16 bands) for fuller recall",
                 100 * near_frac, threshold,
             )
-        if n_dense > 0:
-            dense = spark.createDataFrame(
-                dense_list, schema="band int, band_hash bigint"
-            )
+        if dense is not None:
             dense_members = banded.join(
-                F.broadcast(dense), ["band", "band_hash"], "left_semi"
+                dense, ["band", "band_hash"], "left_semi"
             )
             candidates = candidates.unionByName(_self_join(dense_members))
 
@@ -571,7 +632,7 @@ def minhash_blocked_cosine_pairs(
     if stats is not None:
         stats.update(info)
     out = _rescore_candidates(candidates.distinct(), tfidf, threshold)
-    out = _finalize(out, banded)
+    out = _finalize(out, banded, *extra_caches)
     _mark("rescore+finalize done")
     return out
 

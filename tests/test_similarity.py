@@ -185,6 +185,56 @@ def test_family_pairs_survive_dropped_mixed_bucket_via_other_bands(spark):
     tfidf.unpersist()
 
 
+def test_hot_keys_distributed_fallback_parity(spark, monkeypatch):
+    """Above _HOT_KEYS_LOCAL_MAX hot buckets, the capped path must stop
+    collecting hot/dense key lists to the driver and switch to
+    distributed joins (the 100-TB guard against an adversarial corpus
+    with millions of over-cap buckets). Forcing the bound to 0 must
+    produce BYTE-IDENTICAL pairs and census stats in both modes."""
+    from pdf_knowledge_extractor_spark.operators import similarity as sim
+
+    base = ("kernel scheduler preempts threads across cores under "
+            "contention with fairness guarantees")
+    rows = [(f"d{i:02d}", base) for i in range(20)]
+    fp_words = ["alpha", "bravo", "charlie", "delta", "echofox", "golfy",
+                "hotelz", "indiaq"]
+    for i in range(20):
+        hot = fp_words[i % len(fp_words)]
+        rows.append((f"f{i:02d}", " ".join(fp_words) + (" " + hot) * 12))
+    for i in range(30):
+        rows.append((f"z{i:02d}", f"unrelated filler number{i} payload "
+                                  f"words entropy{i} salt{i} random{i}"))
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    tfidf = _tfidf(docs)
+
+    out = {}
+    for mode in ("verify", "drop"):
+        for bound in (100_000, 0):
+            monkeypatch.setattr(sim, "_HOT_KEYS_LOCAL_MAX", bound)
+            stats: dict = {}
+            pairs = _pairs_dict(
+                sim.minhash_blocked_cosine_pairs(
+                    tfidf, 0.9, max_bucket_size=10,
+                    hot_bucket_mode=mode, stats=stats,
+                )
+            )
+            out[(mode, bound)] = (pairs, stats)
+    for mode in ("verify", "drop"):
+        (p_local, s_local), (p_dist, s_dist) = (
+            out[(mode, 100_000)], out[(mode, 0)]
+        )
+        assert p_local == p_dist, f"{mode}: pair sets diverge"
+        for key in ("buckets_over_cap", "dense_buckets_kept",
+                    "buckets_dropped", "probe_sampled_pairs",
+                    "probe_pairs_near_threshold"):
+            if key in s_local or key in s_dist:
+                assert s_local.get(key) == s_dist.get(key), (
+                    f"{mode}/{key}: {s_local.get(key)} != {s_dist.get(key)}"
+                )
+    assert out[("verify", 0)][1]["dense_buckets_kept"] > 0
+    tfidf.unpersist()
+
+
 def test_minhash_cap_fast_path_when_no_hot_bucket(spark, small_corpus):
     """With the cap set but NO bucket over it, the fast path (no
     anti-join, no probe) must produce exactly the uncapped pair set
