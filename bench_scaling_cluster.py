@@ -37,6 +37,12 @@ EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
 # (V = 30·√N — vocabulary grows with N like real corpora), or an
 # explicit integer size
 VOCAB = os.environ.get("PKE_SCALE_VOCAB", "fixed")
+# uncompressed event logs for per-stage profiling (tools/profile_scaling.py)
+EVENTLOG_DIR = os.environ.get("PKE_SCALE_EVENTLOG", "")
+# override the per-level max(executors, 4) shuffle-partition policy with a
+# CONSTANT count at both levels (partitioning sized to the DATA, as a real
+# deployment does, so the octave varies only executor count)
+SHUFFLE_PARTITIONS = int(os.environ.get("PKE_SCALE_SHUFFLE_PARTS", "0")) or None
 LEVELS = (
     int(os.environ.get("PKE_SCALE_N", "2")),
     int(os.environ.get("PKE_SCALE_4N", "8")),
@@ -63,11 +69,12 @@ def measured_run(n_exec: int) -> dict:
     else:
         n_vocab = int(VOCAB)
 
-    spark = (
+    builder = (
         SparkSession.builder
         .master(f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]")
         .appName(f"scale-cluster-{n_exec}")
-        .config("spark.sql.shuffle.partitions", str(max(n_exec, 4)))
+        .config("spark.sql.shuffle.partitions",
+                str(SHUFFLE_PARTITIONS or max(n_exec, 4)))
         .config("spark.default.parallelism", str(n_exec))
         # AQE off for the measurement: fixed plan across levels
         .config("spark.sql.adaptive.enabled", "false")
@@ -75,8 +82,16 @@ def measured_run(n_exec: int) -> dict:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    if EVENTLOG_DIR:
+        os.makedirs(EVENTLOG_DIR, exist_ok=True)
+        builder = (
+            builder
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
+            .config("spark.eventLog.compress", "false")
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up outside the window: executor JVM launch, codegen, Arrow
     generate_corpus(spark, 2000).count()
@@ -95,6 +110,7 @@ def measured_run(n_exec: int) -> dict:
     spark.stop()
     return {
         "executors": n_exec,
+        "shuffle_partitions": SHUFFLE_PARTITIONS or max(n_exec, 4),
         "rows": ROWS,
         "vocab": VOCAB,
         "n_vocab": n_vocab or 4000,
