@@ -135,23 +135,58 @@ def _doc_vectors(tfidf: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_pairs(pairs: DataFrame) -> DataFrame:
+    """Global (doc1_id, doc2_id) dedup in ONE shuffle of the raw
+    candidate stream instead of two.
+
+    ``distinct()`` exchanges the full pre-dedup pair stream on
+    (doc1_id, doc2_id), then the rescore join immediately re-exchanges
+    the deduped pairs on doc1_id — and sort-merge-joins SORT them, the
+    disk-spill hot spot the 1.2M-row octave profile pinned (the pair
+    stream is the largest shuffle in the whole pipeline; sorting it
+    spilled 15-17 GB against one shared disk and broke scaling).
+    Hash-partitioning on doc1_id alone already co-locates every copy
+    of a pair (a subset of the grouping keys satisfies the aggregate's
+    clustering requirement), and it is exactly the distribution the
+    downstream vector join on doc1_id needs — so the deduped pairs
+    flow into the rescore with no further exchange."""
+    return pairs.repartition(F.col("doc1_id")).dropDuplicates(
+        ["doc1_id", "doc2_id"]
+    )
+
+
 def _rescore_candidates(
     candidates: DataFrame,
     tfidf: DataFrame,
     threshold: float,
     keep_cols: tuple[str, ...] = (),
+    vec_join: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Exact dot product for candidate pairs via map-side lookups:
-    join the two compact doc vectors onto each candidate row (the
-    vector table broadcasts when small; co-partitions on doc_id
-    otherwise), then aggregate over the smaller map's entries —
+    join the two compact doc vectors onto each candidate row, then
+    aggregate over the smaller map's entries —
     O(candidates * avg_terms) with no exploded shuffle, versus the
     naive candidate x term join that materializes |cand| * |terms|
     rows. ``keep_cols`` are passed through (used by the hot-bucket
-    density probe to keep the bucket key on sampled pairs)."""
+    density probe to keep the bucket key on sampled pairs).
+
+    ``vec_join`` picks the physical join of candidates x vectors:
+    the default ``shuffle_hash`` builds a per-partition hash map of
+    the doc vectors and STREAMS the (much larger) candidate side —
+    a sort-merge join would sort the candidate stream twice (once
+    per vector side, the second time carrying the first map column
+    as payload), which is pure disk spill at scale. The build side
+    is |docs|/P maps; size ``spark.sql.shuffle.partitions`` to the
+    corpus (the documented knob) to keep it tens of MB. Pass
+    ``broadcast`` when the vector table is known-tiny (the density
+    probe's sampled docs) or ``None`` to let Catalyst choose."""
     vec = _doc_vectors(tfidf)
     v1 = vec.select(F.col("doc_id").alias("doc1_id"), F.col("m").alias("m1"))
     v2 = vec.select(F.col("doc_id").alias("doc2_id"), F.col("m").alias("m2"))
+    if vec_join == "broadcast":
+        v1, v2 = F.broadcast(v1), F.broadcast(v2)
+    elif vec_join:
+        v1, v2 = v1.hint(vec_join), v2.hint(vec_join)
     dot = F.aggregate(
         F.map_entries("m1"),
         F.lit(0.0),
@@ -211,12 +246,11 @@ def prefix_cosine_pairs(
     pa = prefix.select(F.col("doc_id").alias("doc1_id"), "term")
     pb = prefix.select(F.col("doc_id").alias("doc2_id"), "term")
     candidates = (
-        pa.join(pb, "term")
+        pa.join(pb.hint("shuffle_hash"), "term")
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
-        .distinct()
     )
-    return _rescore_candidates(candidates, tfidf, threshold)
+    return _rescore_candidates(_dedup_pairs(candidates), tfidf, threshold)
 
 
 def minhash_blocked_cosine_pairs(
@@ -368,15 +402,19 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
     def _self_join(rows: DataFrame) -> DataFrame:
         b1 = rows.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
         b2 = rows.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
+        # shuffle-hash: build a per-partition map of one banded side
+        # (narrow rows, |banded|/P per partition) and stream the
+        # other — sort-merge would sort both sides of the largest
+        # fan-out join in the operator for no benefit
         return (
-            b1.join(b2, ["band", "band_hash"])
+            b1.join(b2.hint("shuffle_hash"), ["band", "band_hash"])
             .filter(F.col("doc1_id") < F.col("doc2_id"))
             .select("doc1_id", "doc2_id")
         )
 
     if max_bucket_size is None:
         return _rescore_candidates(
-            _self_join(banded).distinct(), tfidf, threshold
+            _dedup_pairs(_self_join(banded)), tfidf, threshold
         )
 
     if hot_bucket_mode not in ("verify", "drop"):
@@ -465,7 +503,7 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
             info["buckets_total"],
         )
         out = _rescore_candidates(
-            _self_join(banded).distinct(), tfidf, threshold
+            _dedup_pairs(_self_join(banded)), tfidf, threshold
         )
         return _finalize(out, banded)
 
@@ -534,6 +572,9 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
         scored = _rescore_candidates(
             sample_pairs, probe_tfidf, 0.0,
             keep_cols=("band", "band_hash"),
+            # the probe's vector table is <= hot_sample_docs * n_hot
+            # rows by construction — broadcast, don't shuffle
+            vec_join="broadcast",
         )
         # ONE probe job: per-bucket density verdict + near-threshold
         # histogram, collected together (was: eager dense checkpoint
@@ -631,7 +672,7 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
     )
     if stats is not None:
         stats.update(info)
-    out = _rescore_candidates(candidates.distinct(), tfidf, threshold)
+    out = _rescore_candidates(_dedup_pairs(candidates), tfidf, threshold)
     out = _finalize(out, banded, *extra_caches)
     _mark("rescore+finalize done")
     return out
