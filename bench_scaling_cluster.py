@@ -80,6 +80,13 @@ def measured_run(n_exec: int) -> dict:
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # match session.py: keep collect_list aggregates hash-based
+        # (the 128-key default falls back to a sort that spills the
+        # doc-vector and concept-context builds against the shared
+        # disk — a parallelism-independent cost the octave profiles
+        # measured)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "2000000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
     )

@@ -197,24 +197,31 @@ def lsh_bucketed_topk(
     ).select("vid", F.col("b.tbl"), F.col("b.sig"))
     c1 = buckets.select(F.col("vid").alias("query_id"), "tbl", "sig")
     c2 = buckets.select(F.col("vid").alias("nbr_id"), "tbl", "sig")
+    # hash-join the bucket self-join and dedup the multi-table pair
+    # stream in ONE exchange on query_id (a subset of the pair key
+    # co-locates all copies, and it is the distribution the q_vec
+    # join and the top-k window both need) — distinct() would add a
+    # second full exchange of the pair stream, and sort-merge joins
+    # would sort it besides (the similarity-operator spill fix)
     cand = (
-        c1.join(c2, ["tbl", "sig"])
+        c1.join(c2.hint("shuffle_hash"), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id")
-        .distinct()
+        .repartition(F.col("query_id"))
+        .dropDuplicates(["query_id", "nbr_id"])
     )
     vecs = sigs.select("vid", "vec")
     scored = (
         cand.join(
             vecs.select(
                 F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")
-            ),
+            ).hint("shuffle_hash"),
             "query_id",
         )
         .join(
             vecs.select(
                 F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")
-            ),
+            ).hint("shuffle_hash"),
             "nbr_id",
         )
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))
@@ -292,13 +299,19 @@ def ivf_multiprobe_topk(
         .select("query_id", F.col("vid").alias("nbr_id"))
     )
     vecs = assigned.select("vid", "vec")
+    # hash-join the vector re-attach (build = per-partition vector
+    # slice) — merge joins would sort the candidate stream twice
     scored = (
         cand.join(
-            vecs.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")),
+            vecs.select(
+                F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")
+            ).hint("shuffle_hash"),
             "query_id",
         )
         .join(
-            vecs.select(F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")),
+            vecs.select(
+                F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")
+            ).hint("shuffle_hash"),
             "nbr_id",
         )
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))

@@ -104,8 +104,11 @@ def ngram_jaccard_pairs(
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = posts.select(F.col("doc_id").alias("doc1_id"), "shingle")
     b = posts.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    # hash joins end to end: the posting self-join and the two size
+    # lookups stream the (large) pair-bearing side and build from the
+    # narrow per-partition slice — no sorts of the quadratic stream
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .groupBy("doc1_id", "doc2_id")
         .agg(F.count("*").alias("inter"))
@@ -113,8 +116,8 @@ def ngram_jaccard_pairs(
     s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("sz").alias("sz2"))
     return (
-        inter.join(s1, "doc1_id")
-        .join(s2, "doc2_id")
+        inter.join(s1.hint("shuffle_hash"), "doc1_id")
+        .join(s2.hint("shuffle_hash"), "doc2_id")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
@@ -269,14 +272,26 @@ def minhash_lsh_pairs(
         )
     b1 = banded.select(F.col("doc_id").alias("doc1_id"), "band", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc2_id"), "band", "band_hash")
+    # shuffle-hash the band self-join (build = narrow banded rows per
+    # partition) and dedup via ONE exchange on doc1_id — partitioning
+    # on a subset of the pair key co-locates every copy of a pair and
+    # pre-positions the pairs for the doc1-keyed verify join below;
+    # distinct() + join would exchange (and sort-merge SORT) the raw
+    # pair stream twice. Same fix as similarity._dedup_pairs, where
+    # the 1.2M octave profile measured the sorts as 15-17 GB of disk
+    # spill that serialized on the shared disk.
     candidates = (
-        b1.join(b2, ["band", "band_hash"])
+        b1.join(b2.hint("shuffle_hash"), ["band", "band_hash"])
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
     )
     for part in star_parts:
         candidates = candidates.unionByName(part)
-    candidates = candidates.distinct().persist()
+    candidates = (
+        candidates.repartition(F.col("doc1_id"))
+        .dropDuplicates(["doc1_id", "doc2_id"])
+        .persist()
+    )
     # exact verify on candidates only: posting join over the shingle
     # lists of candidate docs (map-side count agg bounds the shuffle
     # by shared shingles, never full arrays per pair)
@@ -290,17 +305,20 @@ def minhash_lsh_pairs(
     sizes = cand_sets.select("doc_id", F.size("_sh").alias("sz"))
     a = posts.select(F.col("doc_id").alias("doc1_id"), "shingle")
     b = posts.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    # stream the wide pair x shingle intermediate through hash joins
+    # (build = the bounded candidate-doc posting slices) instead of
+    # sorting it for a merge join
     inter = (
-        candidates.join(a, "doc1_id")
-        .join(b, ["doc2_id", "shingle"])
+        candidates.join(a.hint("shuffle_hash"), "doc1_id")
+        .join(b.hint("shuffle_hash"), ["doc2_id", "shingle"])
         .groupBy("doc1_id", "doc2_id")
         .agg(F.count("*").alias("inter"))
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("sz").alias("sz2"))
     return _finalize(
-        inter.join(s1, "doc1_id")
-        .join(s2, "doc2_id")
+        inter.join(s1.hint("shuffle_hash"), "doc1_id")
+        .join(s2.hint("shuffle_hash"), "doc2_id")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
@@ -437,8 +455,11 @@ def simhash_near_dup_pairs(
         F.col("doc_id").alias("doc2_id"), "blk", "blk_val",
         F.col("sh_lo").alias("lo2"), F.col("sh_hi").alias("hi2"),
     )
+    # hash join for the block self-join (no sorts of the pair fan-out);
+    # the hamming verify is inline, so distinct()'s single exchange is
+    # already the minimal shuffle here
     cand = (
-        c1.join(c2, ["blk", "blk_val"])
+        c1.join(c2.hint("shuffle_hash"), ["blk", "blk_val"])
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id", "lo1", "lo2", "hi1", "hi2")
         .distinct()

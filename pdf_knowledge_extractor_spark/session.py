@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ObjectHashAggregate (collect_list/collect_set: doc vectors,
+        # concept contexts) falls back to SORT-based aggregation after
+        # only 128 distinct keys per partition by default — that sort
+        # spills the aggregation input to disk at scale for aggregates
+        # whose per-key buffers this engine bounds by design (per-doc
+        # term maps, capped context lists). Keep hashing up to 2M keys
+        # per partition (~keys/partition stays orders of magnitude
+        # below this when shuffle partitions are sized to the data).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "2000000")
         .config("spark.driver.memory", os.environ.get("PKE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

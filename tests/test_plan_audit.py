@@ -86,3 +86,53 @@ def test_small_dim_join_broadcasts(spark):
     )
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan
+
+
+def test_candidate_path_sort_free(spark, small_corpus):
+    """The 1.2M-row octave profile pinned the non-scaling component to
+    sort-merge machinery on the candidate pair stream (15-17 GB of
+    sort spill serializing on one shared disk at 8 executor JVMs).
+    Guard the fix: the banded similarity plan must hash-join end to
+    end (no SortMergeJoin, no Sort of the pair stream) and exchange
+    the pair stream ONCE - the doc1_id repartition that serves both
+    the dedup aggregate and the doc1-keyed vector join."""
+    from pyspark.sql import functions as F
+
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+    from pdf_knowledge_extractor_spark.operators.tfidf import tfidf_longform
+    from pdf_knowledge_extractor_spark.operators.mentions import (
+        keyword_mentions,
+    )
+    from pdf_knowledge_extractor_spark.plans.pipeline import enrich_documents
+
+    enriched = enrich_documents(small_corpus, "doc_id", "content")
+    kw = keyword_mentions(enriched, "doc_id", "content")
+    tfidf = tfidf_longform(
+        kw.select("doc_id", F.col("text")), n_docs=200, normalize=True
+    )
+    # uncapped path stays lazy (no _finalize checkpoint), so the full
+    # candidate plan is inspectable
+    pairs = minhash_blocked_cosine_pairs(tfidf, max_bucket_size=None)
+    plan = _plan(pairs)
+    assert "SortMergeJoin" not in plan, "candidate path regressed to SMJ"
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(doc1_id") == 1, (
+        "pair stream must shuffle exactly once (repartition(doc1_id) "
+        "reused by dedup + vector join)"
+    )
+
+
+def test_ngram_jaccard_sort_free(spark, small_corpus):
+    from pdf_knowledge_extractor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        small_corpus, threshold=0.5, id_col="doc_id", text_col="content"
+    )
+    plan = _plan(pairs)
+    assert "SortMergeJoin" not in plan, (
+        "posting self-join regressed to SMJ"
+    )
