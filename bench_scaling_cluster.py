@@ -43,6 +43,9 @@ EVENTLOG_DIR = os.environ.get("PKE_SCALE_EVENTLOG", "")
 # CONSTANT count at both levels (partitioning sized to the DATA, as a real
 # deployment does, so the octave varies only executor count)
 SHUFFLE_PARTITIONS = int(os.environ.get("PKE_SCALE_SHUFFLE_PARTS", "0")) or None
+# source partition count for the generated corpus (0 = follow
+# SHUFFLE_PARTITIONS, else the generator's own default)
+SOURCE_PARTITIONS = int(os.environ.get("PKE_SCALE_SOURCE_PARTS", "0")) or None
 LEVELS = (
     int(os.environ.get("PKE_SCALE_N", "2")),
     int(os.environ.get("PKE_SCALE_4N", "8")),
@@ -104,7 +107,15 @@ def measured_run(n_exec: int) -> dict:
     generate_corpus(spark, 2000).count()
 
     t0 = time.perf_counter()
-    corpus = generate_corpus(spark, ROWS, n_vocab=n_vocab)
+    # source partitions sized to the DATA (constant across levels, like
+    # SHUFFLE_PARTITIONS): defaultParallelism=2 would hand each fused
+    # extract+partial-aggregate task ~ROWS/4 documents regardless of
+    # executor count — a per-task memory footprint no real deployment
+    # would configure
+    corpus = generate_corpus(
+        spark, ROWS, n_vocab=n_vocab,
+        partitions=SOURCE_PARTITIONS or SHUFFLE_PARTITIONS or None,
+    )
     res = run_pipeline(
         spark, corpus,
         PipelineConfig(similarity_strategy="minhash",
@@ -139,9 +150,15 @@ def main() -> None:
     for n in LEVELS:
         out = subprocess.run(
             [sys.executable, __file__, "--run", str(n)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-20000:])
+            raise SystemExit(
+                f"--run {n} failed with code {out.returncode} "
+                "(inner stderr above)"
+            )
         results[n] = json.loads(out.stdout.strip().splitlines()[-1])
         print(results[n], flush=True)
 

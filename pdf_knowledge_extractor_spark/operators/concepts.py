@@ -10,15 +10,22 @@ semantic_analyzer.py:101); keep top ``max_concepts`` (default 100)
 ordered by (importance desc, frequency desc)
 (semantic_analyzer.py:446-448).
 
-Scale design: a single groupBy on concept text is skew-prone — hot
-entities (stdlib symbols, common keywords) can own >30% of the mention
-stream. We therefore pre-aggregate on a salted key
-(concept, salt = pmod(hash(doc_id), n_salts)) so every reducer sees a
-bounded slice of the hot key, then merge the partials in a second,
-tiny aggregation. Map-side partial aggregation handles the first
-stage; the second stage groups ~n_salts rows per concept.
-``collect_set(doc_id)`` is bounded by slice() caps so driver/executor
-memory stays bounded at 100 TB scale.
+Scale design (three bounded hops):
+1. per-(concept, doc) reduction — a spillable codegen HashAggregate
+   (count/sum only) is the single consumer of the raw mention stream;
+   no collect buffer anywhere grows with mention multiplicity.
+2. scalar totals (frequency/importance) — plain hash agg over the
+   deduped table; map-side combine makes hot keys free.
+3. capped distinct lists — object-hash collects over the deduped
+   table on a salted key (concept, pmod(hash(doc_id), n_salts)) so a
+   hot entity owning >30% of the stream splits across n_salts
+   reducers, with per-salt slice() caps bounding what crosses the
+   merge shuffle. Per-salt smallest-K caps compose exactly to the
+   global smallest-K.
+Every buffer is bounded by its partition's input size — the normal
+Spark memory contract — instead of by per-key mention multiplicity,
+which is what OOMs (hash path) or spill-storms (sort fallback) a
+fixed-memory executor at the 100 TB end.
 """
 
 from __future__ import annotations
@@ -42,37 +49,67 @@ def aggregate_concepts(
     n_documents).
     """
     has_context = "context" in mentions.columns
-    salted = mentions.select(
+    base = mentions.select(
         F.lower(F.col("text")).alias("text"),
         "concept_type",
         "importance",
         "doc_id",
         *(["context"] if has_context else []),
-        F.pmod(F.hash("doc_id"), F.lit(n_salts)).alias("_salt"),
     )
-    partial_aggs = [
+    # Stage 1 — per-(concept, doc) reduction. This is the ONLY
+    # operator that consumes the full mention stream, and it is a
+    # codegen HashAggregate with fixed-width buffers (count/sum):
+    # spillable under memory pressure, unlike an object-hash collect
+    # whose per-key list buffers grow with input multiplicity and whose
+    # sort-based fallback re-spills the full context payload (the OOM /
+    # shared-disk-spill mode the 1.2M octave hit). context is one
+    # deterministic sentence per (doc, mention text) by construction
+    # (_context_expr takes the FIRST containing sentence), so adding it
+    # to the grouping key does not multiply groups.
+    doc_keys = ["text", "concept_type", "doc_id"] + (
+        ["context"] if has_context else []
+    )
+    per_doc = base.groupBy(*doc_keys).agg(
         F.count("*").alias("_cnt"),
         F.sum("importance").alias("_imp_sum"),
-        F.collect_set("doc_id").alias("_docs"),
-    ]
-    if has_context:
-        # first-5 cap per reference (semantic_analyzer.py:442); cap the
-        # partials too so no unbounded lists cross the shuffle
-        partial_aggs.append(
-            F.slice(
-                F.array_distinct(
-                    F.filter(
-                        F.collect_list("context"), lambda c: c.isNotNull()
-                    )
-                ),
-                1,
-                5,
-            ).alias("_ctx")
-        )
-    partial = salted.groupBy("text", "concept_type", "_salt").agg(*partial_aggs)
-    merge_aggs = [
+    )
+    # Stage 2a — scalar totals. Plain hash agg over the deduped table;
+    # map-side combine leaves <= 1 row per key per partition, so hot
+    # concepts cost nothing extra (no salting needed for scalars).
+    scalars = per_doc.groupBy("text", "concept_type").agg(
         F.sum("_cnt").alias("frequency"),
         (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
+    )
+    # Stage 2b — capped distinct lists on a salted key. Every collect
+    # now runs over the deduped (concept, doc) table, so object-agg
+    # buffers are bounded by the reduce partition's input (salting
+    # splits hot concepts across n_salts reducers) and the per-salt
+    # slice caps what crosses the merge shuffle. A per-salt smallest-K
+    # cap composes exactly: any globally-K-smallest element is among
+    # the K smallest of its own salt bucket, so the merged slice equals
+    # the unsalted global slice.
+    salted = per_doc.withColumn(
+        "_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts))
+    )
+    partial_aggs = [
+        F.slice(
+            F.array_sort(F.collect_set("doc_id")), 1, doc_id_cap
+        ).alias("_docs"),
+    ]
+    if has_context:
+        # 5-per-concept cap per reference (semantic_analyzer.py:442),
+        # taken as the 5 smallest distinct sentences — deterministic
+        # under any partitioning, where the reference's single-process
+        # "first 5 encountered" depends on scan order
+        partial_aggs.append(
+            F.slice(F.array_sort(F.collect_set("context")), 1, 5).alias(
+                "_ctx"
+            )
+        )
+    partial = salted.groupBy("text", "concept_type", "_salt").agg(
+        *partial_aggs
+    )
+    merge_aggs = [
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
             1,
@@ -89,8 +126,17 @@ def aggregate_concepts(
                 5,
             ).alias("context_sentences")
         )
-    merged = partial.groupBy("text", "concept_type").agg(*merge_aggs)
-    merged = merged.withColumn("n_documents", F.size("document_ids"))
+    lists = partial.groupBy("text", "concept_type").agg(*merge_aggs)
+    # both sides are small post-aggregation tables keyed identically;
+    # hash join avoids sorting them (AQE may still pick its own build)
+    merged = scalars.join(lists.hint("shuffle_hash"), ["text", "concept_type"])
+    out_cols = ["text", "concept_type", "frequency", "importance",
+                "document_ids"]
+    if has_context:
+        out_cols.append("context_sentences")
+    merged = merged.select(*out_cols).withColumn(
+        "n_documents", F.size("document_ids")
+    )
     if min_frequency and min_frequency > 1:
         merged = merged.filter(F.col("frequency") >= min_frequency)
     if max_concepts:

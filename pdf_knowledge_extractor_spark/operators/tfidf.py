@@ -46,8 +46,11 @@ def tfidf_longform(
         tf = tf.crossJoin(F.broadcast(n_df))
     else:
         tf = tf.withColumn("n_docs", F.lit(n_docs))
+    # hash-join the df and norm lookups (build = the narrow per-term /
+    # per-doc aggregate slice): sort-merge would sort the full tf
+    # long form twice for two equi-lookups
     weighted = (
-        tf.join(df_t, "term")
+        tf.join(df_t.hint("shuffle_hash"), "term")
         .withColumn(
             "weight",
             (1.0 + F.log(F.col("tf"))) * F.log(F.col("n_docs") / F.col("df")),
@@ -60,7 +63,7 @@ def tfidf_longform(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_norm")
     )
     return (
-        weighted.join(norms, "doc_id")
+        weighted.join(norms.hint("shuffle_hash"), "doc_id")
         .filter(F.col("_norm") > 0)
         .withColumn("weight", F.col("weight") / F.col("_norm"))
         .drop("_norm")
