@@ -14,14 +14,14 @@ Scale design (three bounded hops):
 1. per-(concept, doc) reduction — a spillable codegen HashAggregate
    (count/sum only) is the single consumer of the raw mention stream;
    no collect buffer anywhere grows with mention multiplicity.
-2. scalar totals (frequency/importance) — plain hash agg over the
-   deduped table; map-side combine makes hot keys free.
-3. capped distinct lists — object-hash collects over the deduped
-   table on a salted key (concept, pmod(hash(doc_id), n_salts)) so a
+2. salted partial — per-salt sums plus capped distinct collects over
+   the deduped table on (concept, pmod(hash(doc_id), n_salts)), so a
    hot entity owning >30% of the stream splits across n_salts
    reducers, with per-salt slice() caps bounding what crosses the
    merge shuffle. Per-salt smallest-K caps compose exactly to the
    global smallest-K.
+3. merge — sums the per-salt sums, flattens/dedups/re-caps the
+   per-salt lists; ~n_salts rows per concept.
 Every buffer is bounded by its partition's input size — the normal
 Spark memory contract — instead of by per-key mention multiplicity,
 which is what OOMs (hash path) or spill-storms (sort fallback) a
@@ -73,15 +73,13 @@ def aggregate_concepts(
         F.count("*").alias("_cnt"),
         F.sum("importance").alias("_imp_sum"),
     )
-    # Stage 2a — scalar totals. Plain hash agg over the deduped table;
-    # map-side combine leaves <= 1 row per key per partition, so hot
-    # concepts cost nothing extra (no salting needed for scalars).
-    scalars = per_doc.groupBy("text", "concept_type").agg(
-        F.sum("_cnt").alias("frequency"),
-        (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
-    )
-    # Stage 2b — capped distinct lists on a salted key. Every collect
-    # now runs over the deduped (concept, doc) table, so object-agg
+    # Stage 2 — salted partial: per-salt sums AND capped distinct
+    # lists in one object agg over the deduped table. The sums are
+    # duplicate-SENSITIVE consumers of the per-doc aggregate's output,
+    # which keeps Catalyst's RemoveRedundantAggregates from eliding
+    # stage 1 under the collects (collect_set alone is duplicate-
+    # agnostic, and a collects-only branch would re-read the raw
+    # mention stream) — one mention pass, no second branch. Object-agg
     # buffers are bounded by the reduce partition's input (salting
     # splits hot concepts across n_salts reducers) and the per-salt
     # slice caps what crosses the merge shuffle. A per-salt smallest-K
@@ -92,6 +90,8 @@ def aggregate_concepts(
         "_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts))
     )
     partial_aggs = [
+        F.sum("_cnt").alias("_cnt"),
+        F.sum("_imp_sum").alias("_imp_sum"),
         F.slice(
             F.array_sort(F.collect_set("doc_id")), 1, doc_id_cap
         ).alias("_docs"),
@@ -110,6 +110,8 @@ def aggregate_concepts(
         *partial_aggs
     )
     merge_aggs = [
+        F.sum("_cnt").alias("frequency"),
+        (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
             1,
@@ -126,17 +128,8 @@ def aggregate_concepts(
                 5,
             ).alias("context_sentences")
         )
-    lists = partial.groupBy("text", "concept_type").agg(*merge_aggs)
-    # both sides are small post-aggregation tables keyed identically;
-    # hash join avoids sorting them (AQE may still pick its own build)
-    merged = scalars.join(lists.hint("shuffle_hash"), ["text", "concept_type"])
-    out_cols = ["text", "concept_type", "frequency", "importance",
-                "document_ids"]
-    if has_context:
-        out_cols.append("context_sentences")
-    merged = merged.select(*out_cols).withColumn(
-        "n_documents", F.size("document_ids")
-    )
+    merged = partial.groupBy("text", "concept_type").agg(*merge_aggs)
+    merged = merged.withColumn("n_documents", F.size("document_ids"))
     if min_frequency and min_frequency > 1:
         merged = merged.filter(F.col("frequency") >= min_frequency)
     if max_concepts:

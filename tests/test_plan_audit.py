@@ -136,3 +136,60 @@ def test_ngram_jaccard_sort_free(spark, small_corpus):
     assert "SortMergeJoin" not in plan, (
         "posting self-join regressed to SMJ"
     )
+
+
+def test_concepts_agg_bounded_memory_shape(spark, small_corpus):
+    """The 1.2M octave OOM'd (executor exit 52) when the concepts
+    partial aggregate held every mention's context string in per-key
+    object-agg list buffers — memory proportional to mention
+    multiplicity, invisible to the key-count fallback threshold.
+    Guard the bounded shape: the raw mention stream must be consumed
+    by a codegen HashAggregate keyed per (concept, doc) BEFORE any
+    object-hash collect, the tf-idf df/norm lookups must hash-join,
+    and no SortAggregate / SortMergeJoin may appear anywhere."""
+    from pdf_knowledge_extractor_spark.operators.concepts import (
+        aggregate_concepts,
+    )
+    from pdf_knowledge_extractor_spark.operators.mentions import all_mentions
+    from pdf_knowledge_extractor_spark.plans.pipeline import enrich_documents
+
+    enriched = enrich_documents(small_corpus, "doc_id", "content")
+    mentions = all_mentions(
+        enriched, id_col="doc_id", text_col="content", lang_col="lang",
+        with_context=True,
+    )
+    c = aggregate_concepts(mentions, min_frequency=2, max_concepts=None)
+    plan = _plan(c)
+    assert "ObjectHashAggregate" in plan  # the capped collects exist
+    assert "SortAggregate" not in plan, "concepts agg fell back to sort"
+    # the per-(concept, doc) pre-reduction is the stream's single
+    # consumer: a HashAggregate keyed on text + doc_id sits in the plan
+    import re
+    assert re.search(r"HashAggregate\(keys=\[text\S*, concept_type\S*, "
+                     r"doc_id", plan), (
+        "per-doc codegen pre-reduction missing below the collects"
+    )
+    # single chain: per-doc exchange, salt exchange, merge exchange —
+    # a 4th would mean Catalyst elided the per-doc agg under the
+    # collects (RemoveRedundantAggregates) and re-read the raw mention
+    # stream in a second branch
+    assert plan.count("+- Exchange") == 3, (
+        f"expected 3 exchanges, plan has {plan.count('+- Exchange')} "
+        "(duplicate mention pass?)"
+    )
+
+
+def test_tfidf_lookups_hash_join(spark, small_corpus):
+    from pdf_knowledge_extractor_spark.operators.mentions import (
+        keyword_mentions,
+    )
+    from pdf_knowledge_extractor_spark.operators.tfidf import tfidf_longform
+
+    kw = keyword_mentions(small_corpus, "doc_id", "content")
+    tfidf = tfidf_longform(
+        kw.select("doc_id", F.col("text")), n_docs=200, normalize=True
+    )
+    plan = _plan(tfidf)
+    assert "SortMergeJoin" not in plan, (
+        "df/norm lookups regressed to SMJ (sorts the tf long form twice)"
+    )
