@@ -52,6 +52,58 @@ LEVELS = (
 )
 
 
+def _foreign_compute_procs() -> list[str]:
+    """Names of OTHER heavy processes running on this host right now.
+
+    The octave's residual inflation is DRAM-bandwidth-bound, so ANY
+    concurrent Spark job, pytest session, or map-stream tool poisons a
+    leg (measured: an 8-exec leg read 0.607 with a local[4]
+    microbenchmark alongside vs 0.995 clean at 1->4). Recording the
+    census in each leg's result makes contamination self-documenting
+    instead of a post-hoc suspicion.
+    """
+    me = os.getpid()
+    ppid_of, cmd_of = {}, {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid_of[int(d)] = int(f.read().split(")")[-1].split()[1])
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd_of[int(d)] = (
+                    f.read().replace(b"\0", b" ").decode(errors="replace")
+                )
+        except OSError:
+            continue
+    # descendants of ME, transitively (executor JVMs AND their python
+    # workers) — expanded from {me} only: expanding from ancestors
+    # would swallow the whole host once the chain reaches PID 1
+    related = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in related and pid not in related:
+                related.add(pid)
+                grew = True
+    # ancestor chain (the launcher names this script too) — membership
+    # only, never expanded
+    pid = me
+    while pid in ppid_of and pid > 1:
+        pid = ppid_of[pid]
+        related.add(pid)
+    hits = []
+    for pid, cmd in cmd_of.items():
+        if pid in related:
+            continue
+        low = cmd.lower()
+        if any(k in low for k in ("pyspark", "pytest", "org.apache.spark",
+                                  "bench_", "duckdb")):
+            hits.append(cmd.strip()[:120])
+    return sorted(hits)
+
+
 def measured_run(n_exec: int) -> dict:
     from pyspark.sql import SparkSession
 
@@ -138,6 +190,7 @@ def measured_run(n_exec: int) -> dict:
         "triples": n_triples,
         "seconds": round(dt, 2),
         "triples_per_sec": round(n_triples / dt, 1),
+        "foreign_compute_procs": _foreign_compute_procs(),
     }
 
 
