@@ -42,6 +42,26 @@ def _work(_: int) -> float:
     return time.perf_counter() - t0
 
 
+GATHER_ITERS = 20
+
+
+def _work_gather(_: int) -> float:
+    """Random-access arm: the rescore's per-pair map probes are
+    gathers, not sequential streams — random access defeats the
+    prefetcher and saturates the memory subsystem at FEWER concurrent
+    processes than streaming does, so this arm is the fair Spark-free
+    twin of the pair x vector hash-probe stage."""
+    rs = np.random.RandomState(0)
+    a = rs.rand(ARRAY)
+    idx = rs.randint(0, ARRAY, ARRAY)
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(GATHER_ITERS):
+        s += float(a[idx].sum())  # full-array random gather
+    assert s > 0
+    return time.perf_counter() - t0
+
+
 REPS = 7
 
 
@@ -49,29 +69,46 @@ def main() -> None:
     # interleave levels across repetitions: the host is a shared VM
     # whose memory performance drifts minute to minute, so a
     # per-level median over interleaved rounds is the only fair read
-    samples: dict[int, list[float]] = {n: [] for n in LEVELS}
-    for _ in range(REPS):
-        for n in LEVELS:
-            with mp.Pool(n) as pool:
-                ts = pool.map(_work, range(n))
-            samples[n].append(sum(ts) / len(ts))
-    med = {n: sorted(v)[len(v) // 2] for n, v in samples.items()}
-    base = med[LEVELS[0]]
-    results = {
-        str(n): {
-            "per_proc_median_s": round(med[n], 3),
-            "per_proc_all_s": [round(x, 3) for x in samples[n]],
-            "agg_throughput_x": round(n * base / med[n], 2),
-        }
-        for n in LEVELS
+    arms = {"stream": _work, "gather": _work_gather}
+    samples: dict[str, dict[int, list[float]]] = {
+        a: {n: [] for n in LEVELS} for a in arms
     }
+    for _ in range(REPS):
+        for name, fn in arms.items():
+            for n in LEVELS:
+                with mp.Pool(n) as pool:
+                    ts = pool.map(fn, range(n))
+                samples[name][n].append(sum(ts) / len(ts))
+    out_arms = {}
+    for name in arms:
+        med = {n: sorted(v)[len(v) // 2] for n, v in samples[name].items()}
+        base = med[LEVELS[0]]
+        out_arms[name] = {
+            str(n): {
+                "per_proc_median_s": round(med[n], 3),
+                "per_proc_all_s": [round(x, 3) for x in samples[name][n]],
+                "agg_throughput_x": round(n * base / med[n], 2),
+            }
+            for n in LEVELS
+        }
     out = {
-        "workload": f"numpy stream {ARRAY} doubles x {ITERS} iters",
-        "levels": results,
+        "workload": {
+            "stream": f"numpy stream {ARRAY} doubles x {ITERS} iters",
+            "gather": (
+                f"numpy random gather {ARRAY} doubles x "
+                f"{GATHER_ITERS} iters (rescore map-probe twin)"
+            ),
+        },
+        "arms": out_arms,
+        # legacy shape: `levels` keeps the stream arm where round-5
+        # records already point
+        "levels": out_arms["stream"],
         "note": (
             "agg_throughput_x saturating below the process count is "
             "host DRAM bandwidth, shared by all executor JVMs in "
-            "local-cluster mode"
+            "local-cluster mode; the gather arm saturates earlier "
+            "(prefetcher-defeating random access, like hash-map "
+            "probes)"
         ),
     }
     line = json.dumps(out)
