@@ -489,6 +489,20 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
             ),
             F.lit(0),
         ).alias("hot_rows"),
+        # sub-cap candidate volume Σ n·(n−1)/2 — the direct driver of
+        # rescore cost, recorded so data-size scaling runs can
+        # attribute superlinear wall growth to blocking-key
+        # densification from the artifact instead of inferring it
+        # from the hot tail (BENCH/BASELINE.md 1.2M→2.4M analysis)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_n") <= max_bucket_size,
+                    F.col("_n").cast("long") * (F.col("_n") - 1) / 2,
+                ).otherwise(0.0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("subcap_pairs"),
         # BOUNDED at the aggregation (slice caps the array the driver
         # receives): n_over is bounded by banded_rows/cap in theory but
         # an adversarial corpus can push it to millions — the exact
@@ -513,6 +527,7 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
         "buckets_total": int(agg["total"]),
         "buckets_over_cap": n_over,
         "banded_rows_in_hot_buckets": n_hot_rows,
+        "candidate_pairs_subcap": int(agg["subcap_pairs"]),
         "dense_buckets_kept": 0,
         "buckets_dropped": n_over,
     }
