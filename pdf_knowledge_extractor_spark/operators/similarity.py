@@ -371,6 +371,16 @@ def minhash_blocked_cosine_pairs(
     been consumed, so looping sessions release even the result storage
     (`clearCache()` cannot see checkpoint blocks).
     """
+    banded = _banded_rows(tfidf, num_hashes, bands)
+    return _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
+                             hot_bucket_mode, hot_sample_docs,
+                             hot_min_precision, stats)
+
+
+def _banded_rows(tfidf: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) MinHash-banding rows for a tfidf
+    long form — the blocker shared by the pair join and the
+    standalone census."""
     rows_per_band = num_hashes // bands
     # one groupBy(doc) to gather the term set; signatures and band
     # hashes computed as array expressions (no K-fold explode shuffle —
@@ -403,15 +413,56 @@ def minhash_blocked_cosine_pairs(
             )
         ),
     )
-    banded = (
+    return (
         with_sig.select("doc_id", F.posexplode(band_hashes))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
 
-    return _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
-                             hot_bucket_mode, hot_sample_docs,
-                             hot_min_precision, stats)
+
+def banding_census(
+    tfidf: DataFrame,
+    num_hashes: int = 60,
+    bands: int = 12,
+    max_bucket_size: int = 400,
+) -> dict:
+    """Candidate-volume census of the MinHash blocker WITHOUT running
+    the rescore: bucket count, over-cap tail, and the sub-cap
+    candidate-pair volume Σ n·(n−1)/2 that drives rescore cost. Used
+    by tools/census_scale.py to attribute data-size scaling."""
+    census = (
+        _banded_rows(tfidf, num_hashes, bands)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("_n"))
+    )
+    agg = census.agg(
+        F.count("*").alias("total"),
+        F.coalesce(
+            F.sum((F.col("_n") > max_bucket_size).cast("long")), F.lit(0)
+        ).alias("over"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_n") > max_bucket_size, F.col("_n")).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hot_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_n") <= max_bucket_size,
+                    F.col("_n").cast("long") * (F.col("_n") - 1) / 2,
+                ).otherwise(0.0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("subcap_pairs"),
+    ).first()
+    return {
+        "cap": max_bucket_size,
+        "buckets_total": int(agg["total"]),
+        "buckets_over_cap": int(agg["over"]),
+        "banded_rows_in_hot_buckets": int(agg["hot_rows"]),
+        "candidate_pairs_subcap": int(agg["subcap_pairs"]),
+    }
 
 
 # above this many hot (over-cap) buckets, the capped path stops
