@@ -289,10 +289,28 @@ def minhash_blocked_cosine_pairs(
     hot_sample_docs: int = 24,
     hot_min_precision: float = 0.5,
     stats: dict | None = None,
+    signature_max_df: int | None = None,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
     (map-side dot product) as the scorer.
+
+    ``signature_max_df`` (opt-in, default None = off): exclude terms
+    with df > this ABSOLUTE cap from the banding SIGNATURE only — the
+    rescore still dots the full vectors, so every emitted score stays
+    the exact cosine. Measured on the 1.2M/2.4M Zipf corpus
+    (BENCH/census_scale_r5.json): head terms drive the sub-cap
+    random-collision volume, and a 0.5%·N cap cuts candidate pairs
+    ~19× (32.5M → 1.7M at 1.2M rows) with byte-identical output —
+    the discarded candidates were rescore rejects. THE TRADEOFF: on
+    corpora with LARGE mutated-boilerplate families, the family's
+    shared base words have df ≈ family size; a cap below that erases
+    the family's entire banding signal, and unlike the hot-bucket
+    cap there is no probe downstream to save it — a silent recall
+    loss (asserted by test_signature_max_df_loses_large_families).
+    Use only where high-df sharing is known to be boilerplate noise
+    (e.g. pre-deduplicated web text), never as a blind default; the
+    density-probed hot-bucket cap remains the recall-safe mechanism.
 
     Why this beats prefix filtering / cosine-LSH at 100 TB: the
     banding collision curve 1-(1-j^r)^b is far sharper in Jaccard than
@@ -371,7 +389,12 @@ def minhash_blocked_cosine_pairs(
     been consumed, so looping sessions release even the result storage
     (`clearCache()` cannot see checkpoint blocks).
     """
-    banded = _banded_rows(tfidf, num_hashes, bands)
+    sig_terms = (
+        tfidf.filter(F.col("df") <= signature_max_df)
+        if signature_max_df
+        else tfidf
+    )
+    banded = _banded_rows(sig_terms, num_hashes, bands)
     return _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
                              hot_bucket_mode, hot_sample_docs,
                              hot_min_precision, stats)

@@ -97,6 +97,13 @@ class PipelineConfig:
     # cost quantified in BENCH/BASELINE.md). Either way the bucket
     # census lands in result["similarity_stats"] and the log.
     similarity_hot_mode: str = "verify"
+    # opt-in banding-signature df stop-list (ABSOLUTE df cap): cuts
+    # the head-term random-collision candidate volume ~19x on Zipf
+    # corpora with byte-identical output, but silently erases the
+    # banding signal of mutated-boilerplate families larger than the
+    # cap (their shared base words ARE high-df) — recall-unsafe as a
+    # blind default; see minhash_blocked_cosine_pairs docstring.
+    similarity_signature_max_df: int | None = None
     # banding shape for the minhash blocker: candidate recall for a
     # pair with term-set Jaccard j is 1-(1-j^r)^b with r =
     # num_hashes/bands. The default (60/12 -> r=5) holds recall
@@ -434,6 +441,7 @@ def run_pipeline(
             max_bucket_size=cfg.similarity_max_bucket,
             hot_bucket_mode=cfg.similarity_hot_mode,
             stats=sim_stats,
+            signature_max_df=cfg.similarity_signature_max_df,
         )
     else:
         pairs = exact_cosine_pairs(

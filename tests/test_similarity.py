@@ -367,3 +367,57 @@ def test_lsh_recall(spark, small_corpus):
     )
     recall = len(set(lsh) & set(exact)) / max(len(exact), 1)
     assert recall >= 0.95, f"LSH recall {recall}"
+
+
+def test_signature_max_df_byte_identical_on_zipf_corpus(spark, small_corpus):
+    """Opt-in banding-signature df stop-list: on the standard Zipf
+    corpus the high-df head terms produce only random band collisions
+    that the exact rescore rejects, so filtering them from the
+    SIGNATURE (the rescore still dots full vectors) must leave the
+    emitted pair set byte-identical — the ~19x candidate cut measured
+    at 1.2M (BENCH/census_scale_r5.json) is pure waste removal there."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    tfidf = _tfidf(small_corpus)
+    base = _pairs_dict(minhash_blocked_cosine_pairs(tfidf, 0.7))
+    # cap at 20% of the 200-doc corpus: excludes the hot CommonUtil
+    # head and the Zipf top ranks, keeps body tails and the engineered
+    # near-dup signal
+    stopped = _pairs_dict(
+        minhash_blocked_cosine_pairs(tfidf, 0.7, signature_max_df=40)
+    )
+    assert stopped == base
+    assert len(base) > 0
+
+
+def test_signature_max_df_loses_large_families(spark):
+    """The documented counter-case (why the knob is NOT a default):
+    a mutated-boilerplate family LARGER than the df cap has df ≈
+    family size on every shared base word, so the stop-list erases
+    its entire banding signal — and unlike the hot-bucket cap there
+    is no density probe downstream to rescue it. The verify-mode cap
+    on the same corpus keeps the family."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+    from pdf_knowledge_extractor_spark.corpus import generate_corpus
+
+    docs = generate_corpus(
+        spark, 800, boilerplate_fraction=0.25, boilerplate_families=1
+    ).select("doc_id", "content")
+    tfidf = _tfidf(docs)
+
+    kept = minhash_blocked_cosine_pairs(
+        tfidf, 0.7, max_bucket_size=50, hot_bucket_mode="verify"
+    ).count()
+    lost = minhash_blocked_cosine_pairs(
+        tfidf, 0.7, max_bucket_size=50, hot_bucket_mode="verify",
+        signature_max_df=50,
+    ).count()
+    # ~200 family members -> ~19,900 true pairs through the probe;
+    # with the family's base words df≈200 > 50 stopped out, the
+    # family contributes (nearly) nothing
+    assert kept > 1000
+    assert lost < kept * 0.05

@@ -20,6 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # PKE_CENSUS_VOCAB: "heaps" (default, V = 30·√N — Heaps-law
+    # growth, densifies sub-linearly) or "linear:K" (V = N/K — a
+    # non-densifying corpus where random band collisions stay flat
+    # and only the engineered near-dup pairs, themselves ∝ N, remain)
+    vocab_policy = os.environ.get("PKE_CENSUS_VOCAB", "heaps")
+    # PKE_CENSUS_BODY_WORDS: body length per doc (default 40 — the
+    # legacy short-doc corpus; real source files run 100s of tokens,
+    # which collapses random Zipf-head band collisions)
+    body_words = int(os.environ.get("PKE_CENSUS_BODY_WORDS", "40"))
+    # PKE_CENSUS_MAX_DF_FRAC: if set, band only terms with
+    # df <= frac*N (signature df stop-list experiment: Zipf-head
+    # terms carry no discriminative similarity signal but drive the
+    # superlinear random-collision volume)
+    max_df_frac = float(os.environ.get("PKE_CENSUS_MAX_DF_FRAC", "0"))
     sizes = [int(a) for a in sys.argv[1:]] or [300_000, 600_000]
     from pdf_knowledge_extractor_spark.corpus import (
         generate_corpus,
@@ -37,12 +51,25 @@ def main() -> None:
     spark = get_spark("census-scale", cpus=32, shuffle_partitions=64)
     out = {}
     for n in sizes:
-        corpus = generate_corpus(spark, n, n_vocab=heaps_vocab(n))
+        if vocab_policy.startswith("linear:"):
+            n_vocab = max(n // int(vocab_policy.split(":")[1]), 500)
+        else:
+            n_vocab = heaps_vocab(n)
+        corpus = generate_corpus(
+            spark, n, n_vocab=n_vocab, body_words=body_words
+        )
         km = keyword_mentions(corpus, "doc_id", "content")
         tfidf = tfidf_longform(km.select("doc_id", "text"), n_docs=n)
+        if max_df_frac:
+            from pyspark.sql import functions as F
+
+            tfidf = tfidf.filter(F.col("df") <= max_df_frac * n)
         rec = banding_census(tfidf)
         rec["rows"] = n
-        rec["n_vocab"] = heaps_vocab(n)
+        rec["n_vocab"] = n_vocab
+        rec["vocab_policy"] = vocab_policy
+        rec["body_words"] = body_words
+        rec["max_df_frac"] = max_df_frac
         out[str(n)] = rec
         print(json.dumps(rec), file=sys.stderr, flush=True)
         spark.catalog.clearCache()
