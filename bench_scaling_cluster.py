@@ -30,6 +30,9 @@ MAX_BUCKET = int(os.environ.get("PKE_SCALE_MAX_BUCKET", "400")) or None
 # hot-bucket treatment: "verify" (round-4 default: density-probed) or
 # "drop" (round-3 behavior, the attribution-comparable setting)
 HOT_MODE = os.environ.get("PKE_SCALE_HOT_MODE", "verify")
+# opt-in banding-signature df stop-list (absolute df; 0 = off) — the
+# head-collision experiment (BENCH/census_scale_controls_r5_dfstop)
+SIG_MAX_DF = int(os.environ.get("PKE_SCALE_SIG_MAX_DF", "0")) or None
 EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
 # body-vocabulary policy for the synthetic corpus: "fixed" (legacy
 # 4,000-word vocabulary — densifies as N grows: df ∝ N, bucket
@@ -172,7 +175,8 @@ def measured_run(n_exec: int) -> dict:
         spark, corpus,
         PipelineConfig(similarity_strategy="minhash",
                        similarity_max_bucket=MAX_BUCKET,
-                       similarity_hot_mode=HOT_MODE),
+                       similarity_hot_mode=HOT_MODE,
+                       similarity_signature_max_df=SIG_MAX_DF),
         id_col="doc_id", text_col="content", lang_col="lang",
     )
     n_triples = res["triples"].count()
@@ -186,6 +190,7 @@ def measured_run(n_exec: int) -> dict:
         "n_vocab": n_vocab or 4000,
         "max_bucket": MAX_BUCKET,
         "hot_mode": HOT_MODE if MAX_BUCKET else None,
+        "signature_max_df": SIG_MAX_DF,
         "similarity_stats": res.get("similarity_stats") or {},
         "triples": n_triples,
         "seconds": round(dt, 2),
