@@ -104,9 +104,11 @@ def generate_corpus(
     corpus, not of any engine. Scaling runs that want corpus-realistic
     behavior should pass e.g. ``n_vocab=int(30 * sqrt(n_rows))``
     (heaps_vocab helper below). Sizes beyond the composed list are
-    synthesized as ``tok<idx>`` words; the Zipf shape is preserved over
-    the full range, and the default size keeps the byte-identical
-    legacy corpus."""
+    synthesized as pure-alphabetic ``tok`` + base-26(idx) words (>= 4
+    letters, so they survive the ``[a-z]{4,}`` keyword tokenizer and
+    genuinely grow the effective vocabulary); the Zipf shape is
+    preserved over the full range, and the default size keeps the
+    byte-identical legacy corpus."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
     df = spark.range(0, n_rows, 1, partitions)
@@ -153,9 +155,24 @@ def generate_corpus(
         if V <= base_vocab:
             return word
         # Heaps-scaled tail beyond the composed list: synthesized words
-        return F.when(idx < base_vocab, word).otherwise(
-            F.concat(F.lit("tok"), idx.cast("string"))
+        # MUST survive the keyword tokenizer (lexicons.TOKEN_SPLIT_RE
+        # splits on [^a-z]+ and keyword_tokens keeps [a-z]{4,} only,
+        # mirroring the reference's claude_integration.py:1302 rule),
+        # so they are pure-alphabetic: "tok" + base-26 letters of idx
+        # (conv emits 0-9a-p for base 26; translate maps those digits
+        # onto a-z). A digit-embedded form like "tok123" tokenizes to
+        # the 3-letter fragment "tok" and is dropped — the r5 inert-
+        # vocab-knob defect (ADVICE r5 #1): n_vocab then never grew
+        # the effective vocabulary, it only shortened documents.
+        tail = F.concat(
+            F.lit("tok"),
+            F.translate(
+                F.lower(F.conv(idx.cast("string"), 10, 26)),
+                "0123456789abcdefghijklmnop",
+                "abcdefghijklmnopqrstuvwxyz",
+            ),
         )
+        return F.when(idx < base_vocab, word).otherwise(tail)
 
     pick_body_word = lambda j: zipf_word(body_seed, j)  # noqa: E731
     bp_family = F.lit(-1).cast("long")
