@@ -18,14 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdf_knowledge_extractor_spark.tuning import hinted
 
-# JVM handles of the RDDs backing every localCheckpointed result
-# produced by _finalize, awaiting an explicit release. The checkpoint
-# blocks live in executor storage for the session lifetime otherwise —
-# spark.catalog.clearCache() does NOT remove them (it only walks the
-# DataFrame cache manager), so a long-lived session looping these
-# operators accumulates storage invisible to the usual cleanup path.
-_PENDING_CHECKPOINTS: list = []
+
+# Registry of the RDD JVM handles backing every localCheckpointed
+# result produced by _finalize, awaiting an explicit release. The
+# checkpoint blocks live in executor storage for the session lifetime
+# otherwise — spark.catalog.clearCache() does NOT remove them (it only
+# walks the DataFrame cache manager), so a long-lived session looping
+# these operators accumulates storage invisible to the usual cleanup
+# path. Entries are (id(result_df), jrdd); the id key lets callers
+# release ONLY the results they own (ADVICE r5 #2: a blanket drain
+# after consuming one operator's result used to unpersist every OTHER
+# still-held finalized DataFrame, whose next action then failed with
+# CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — lineage is truncated, nothing
+# recomputes). _PENDING_LOCK guards the list: concurrent pipelines in
+# one session must not race appends against drains.
+import threading as _threading
+
+_PENDING_LOCK = _threading.Lock()
+_PENDING_CHECKPOINTS: list = []  # [(key, jrdd)]
 
 
 def _checkpoint_rdd(df: DataFrame):
@@ -49,13 +61,16 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     DataFrame to a real sink.
 
     Lifecycle: the checkpoint blocks of the RESULT are registered in a
-    module-level list; call :func:`release_checkpointed_results` once
-    the results have been written to a sink / fully consumed, or the
-    blocks stay in executor storage for the session lifetime (they are
-    invisible to ``spark.catalog.clearCache()``)."""
+    module-level registry keyed by the returned DataFrame; call
+    :func:`release_checkpointed_results` (all results, e.g. end of a
+    bench loop) or ``release_checkpointed_results(df)`` (just the ones
+    you own) once consumed, or the blocks stay in executor storage for
+    the session lifetime (they are invisible to
+    ``spark.catalog.clearCache()``)."""
     out = result.localCheckpoint(eager=True)
     try:
-        _PENDING_CHECKPOINTS.append(_checkpoint_rdd(out))
+        with _PENDING_LOCK:
+            _PENDING_CHECKPOINTS.append((id(out), _checkpoint_rdd(out)))
     except Exception:  # pragma: no cover
         pass
     for df in cached:
@@ -63,17 +78,31 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
-def release_checkpointed_results() -> int:
-    """Unpersist the checkpoint blocks of every result `_finalize` has
-    produced since the last release (similarity / dedup / ann pair and
-    top-k tables). Call when those results are no longer needed — after
-    their sink write or final action; a released DataFrame must NOT be
-    used again (its lineage is truncated, so any later job fails loudly
-    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than recomputing).
+def release_checkpointed_results(*results: DataFrame) -> int:
+    """Unpersist the checkpoint blocks of finalized results
+    (similarity / dedup / ann pair and top-k tables).
+
+    With DataFrame arguments, releases ONLY those results' blocks —
+    the owned-lifecycle form safe to call while other finalized results
+    are still live elsewhere in the session. With no arguments,
+    releases EVERY pending result (the end-of-session / end-of-loop
+    drain) — only safe when no finalized DataFrame from any operator
+    will be used again: a released DataFrame's lineage is truncated, so
+    any later job on it fails loudly with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than recomputing.
     Returns the number of checkpoints released."""
+    with _PENDING_LOCK:
+        if results:
+            keys = {id(df) for df in results}
+            taken = [e for e in _PENDING_CHECKPOINTS if e[0] in keys]
+            _PENDING_CHECKPOINTS[:] = [
+                e for e in _PENDING_CHECKPOINTS if e[0] not in keys
+            ]
+        else:
+            taken = list(_PENDING_CHECKPOINTS)
+            _PENDING_CHECKPOINTS.clear()
     n = 0
-    while _PENDING_CHECKPOINTS:
-        jrdd = _PENDING_CHECKPOINTS.pop()
+    for _, jrdd in taken:
         try:
             jrdd.unpersist(False)
             n += 1
@@ -204,7 +233,7 @@ def lsh_bucketed_topk(
     # second full exchange of the pair stream, and sort-merge joins
     # would sort it besides (the similarity-operator spill fix)
     cand = (
-        c1.join(c2.hint("shuffle_hash"), ["tbl", "sig"])
+        c1.join(c2.transform(hinted), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id")
         .repartition(F.col("query_id"))
@@ -215,13 +244,13 @@ def lsh_bucketed_topk(
         cand.join(
             vecs.select(
                 F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")
-            ).hint("shuffle_hash"),
+            ).transform(hinted),
             "query_id",
         )
         .join(
             vecs.select(
                 F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")
-            ).hint("shuffle_hash"),
+            ).transform(hinted),
             "nbr_id",
         )
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))
@@ -305,13 +334,13 @@ def ivf_multiprobe_topk(
         cand.join(
             vecs.select(
                 F.col("vid").alias("query_id"), F.col("vec").alias("q_vec")
-            ).hint("shuffle_hash"),
+            ).transform(hinted),
             "query_id",
         )
         .join(
             vecs.select(
                 F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec")
-            ).hint("shuffle_hash"),
+            ).transform(hinted),
             "nbr_id",
         )
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("nbr_vec")))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_knowledge_extractor_spark.tuning import hinted
+
 from pdf_knowledge_extractor_spark.functions.text import clean_text
 from pdf_knowledge_extractor_spark.operators.ann import _finalize
 
@@ -108,7 +110,7 @@ def ngram_jaccard_pairs(
     # lookups stream the (large) pair-bearing side and build from the
     # narrow per-partition slice — no sorts of the quadratic stream
     inter = (
-        a.join(b.hint("shuffle_hash"), "shingle")
+        a.join(b.transform(hinted), "shingle")
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .groupBy("doc1_id", "doc2_id")
         .agg(F.count("*").alias("inter"))
@@ -116,8 +118,8 @@ def ngram_jaccard_pairs(
     s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("sz").alias("sz2"))
     return (
-        inter.join(s1.hint("shuffle_hash"), "doc1_id")
-        .join(s2.hint("shuffle_hash"), "doc2_id")
+        inter.join(s1.transform(hinted), "doc1_id")
+        .join(s2.transform(hinted), "doc2_id")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
@@ -281,7 +283,7 @@ def minhash_lsh_pairs(
     # the 1.2M octave profile measured the sorts as 15-17 GB of disk
     # spill that serialized on the shared disk.
     candidates = (
-        b1.join(b2.hint("shuffle_hash"), ["band", "band_hash"])
+        b1.join(b2.transform(hinted), ["band", "band_hash"])
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
     )
@@ -309,16 +311,16 @@ def minhash_lsh_pairs(
     # (build = the bounded candidate-doc posting slices) instead of
     # sorting it for a merge join
     inter = (
-        candidates.join(a.hint("shuffle_hash"), "doc1_id")
-        .join(b.hint("shuffle_hash"), ["doc2_id", "shingle"])
+        candidates.join(a.transform(hinted), "doc1_id")
+        .join(b.transform(hinted), ["doc2_id", "shingle"])
         .groupBy("doc1_id", "doc2_id")
         .agg(F.count("*").alias("inter"))
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("sz").alias("sz2"))
     return _finalize(
-        inter.join(s1.hint("shuffle_hash"), "doc1_id")
-        .join(s2.hint("shuffle_hash"), "doc2_id")
+        inter.join(s1.transform(hinted), "doc1_id")
+        .join(s2.transform(hinted), "doc2_id")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
@@ -459,7 +461,7 @@ def simhash_near_dup_pairs(
     # the hamming verify is inline, so distinct()'s single exchange is
     # already the minimal shuffle here
     cand = (
-        c1.join(c2.hint("shuffle_hash"), ["blk", "blk_val"])
+        c1.join(c2.transform(hinted), ["blk", "blk_val"])
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id", "lo1", "lo2", "hi1", "hi2")
         .distinct()

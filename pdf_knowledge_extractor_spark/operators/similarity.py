@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_knowledge_extractor_spark.tuning import hinted
+
 DEFAULT_THRESHOLD = 0.7
 
 _LOG = logging.getLogger(__name__)
@@ -174,7 +176,7 @@ def _rescore_candidates(
     tfidf: DataFrame,
     threshold: float,
     keep_cols: tuple[str, ...] = (),
-    vec_join: str | None = "shuffle_hash",
+    vec_join: str | None = "default",
 ) -> DataFrame:
     """Exact dot product for candidate pairs via map-side lookups:
     join the two compact doc vectors onto each candidate row, then
@@ -193,7 +195,15 @@ def _rescore_candidates(
     is |docs|/P maps; size ``spark.sql.shuffle.partitions`` to the
     corpus (the documented knob) to keep it tens of MB. Pass
     ``broadcast`` when the vector table is known-tiny (the density
-    probe's sampled docs) or ``None`` to let Catalyst choose."""
+    probe's sampled docs) or ``None`` to let Catalyst choose;
+    ``"default"`` resolves through tuning.join_hint_name(), so
+    PKE_JOIN_HINT=none reverts this join to Catalyst/AQE too
+    (ADVICE r5 #4 — the SHJ build side must fit executor memory and
+    cannot spill; see tuning.py for the sizing rule)."""
+    from pdf_knowledge_extractor_spark.tuning import join_hint_name
+
+    if vec_join == "default":
+        vec_join = join_hint_name()
     vec = _doc_vectors(tfidf)
     v1 = vec.select(F.col("doc_id").alias("doc1_id"), F.col("m").alias("m1"))
     v2 = vec.select(F.col("doc_id").alias("doc2_id"), F.col("m").alias("m2"))
@@ -272,11 +282,178 @@ def prefix_cosine_pairs(
     pa = prefix.select(F.col("doc_id").alias("doc1_id"), "term")
     pb = prefix.select(F.col("doc_id").alias("doc2_id"), "term")
     candidates = (
-        pa.join(pb.hint("shuffle_hash"), "term")
+        pa.join(pb.transform(hinted), "term")
         .filter(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
     )
     return _rescore_candidates(_dedup_pairs(candidates), tfidf, threshold)
+
+
+# bound on the head-term list shipped through the driver by the AUTO
+# signature stop-list: #terms with df > frac·N is at most
+# avg_doc_len / frac (Σ df = N·L), i.e. ~32k at L=160, frac=0.005 —
+# comfortably local; a corpus that overflows this bound skips the
+# stop-list entirely (recall-safe: identical output, just slower)
+_HEAD_TERMS_LOCAL_MAX = 100_000
+
+
+def _auto_signature_stoplist(
+    tfidf: DataFrame,
+    threshold: float,
+    n_docs: int | None = None,
+    head_df_frac: float = 0.005,
+    head_df_floor: int = 256,
+    sample_docs: int = 16,
+    min_precision: float = 0.2,
+    stats: dict | None = None,
+) -> DataFrame | None:
+    """Probe-verified head-term stop-list for the banding SIGNATURE
+    (round-6 headline: the recall-safe, default-on form of the r5
+    opt-in ``signature_max_df``).
+
+    Head terms (df > max(floor, frac·N)) drive the blocker's sub-cap
+    random-collision volume — the measured cause of the superlinear
+    fixed-cluster data-size exponent (1.30 at 1.2M→2.4M; three-arm
+    census controls, BENCH/census_scale_controls_r5). Excluding them
+    from signatures cut candidates ~19× with byte-identical output on
+    the Zipf corpus — but a blanket df cap silently erases the banding
+    signal of mutated-boilerplate families LARGER than the cap (their
+    shared base words ARE high-df; test_signature_max_df_loses_large_
+    families). This is the identical dichotomy the hot-bucket cap
+    already solved with its density probe (false-positive pile-ups vs
+    true-dense families), so the same machinery decides per TERM:
+
+    - sample ``sample_docs`` docs from the term's posting list
+      (deterministic hash order), exactly rescore the ≤ C(s,2) sample
+      pairs (broadcast vectors — the sampled-doc table is tiny);
+    - if at least ``min_precision`` of the sampled pairs are genuinely
+      similar (cosine ≥ threshold), the term's high df IS signal — a
+      boilerplate family sharing it — so it STAYS in signatures (its
+      dense buckets then flow to the hot-bucket verify path, which
+      keeps output-bound families);
+    - otherwise its df is Zipf-head noise: random co-occurrence whose
+      band collisions the rescore would reject — exclude it.
+
+    ``min_precision`` is deliberately LOW (0.2 vs the bucket probe's
+    0.5): the asymmetry is that falsely KEEPING a noise term only
+    costs wasted candidates (recall-safe), while falsely excluding a
+    family term loses output — mixed posting lists (one family + Zipf-
+    head random docs) must err toward keep.
+
+    Driver-job budget: one head-census job (plus one n_docs count when
+    the caller didn't pass it — the pipeline does), plus ONE probe job
+    when any head exists. Returns a local-relation DataFrame of terms
+    to exclude, or None (no heads / probe kept everything / head list
+    overflow).
+    """
+    spark = tfidf.sparkSession
+    if n_docs is None:
+        n_docs = int(
+            tfidf.agg(F.count_distinct(F.col("doc_id")).alias("n"))
+            .first()["n"]
+        )
+    # collect terms above the FLOOR in one pass (the collect_set
+    # dedups (term, df) as it aggregates — memory bounded by the head
+    # vocabulary, not the posting volume); the frac·N refinement
+    # happens locally once n_docs is known
+    row = (
+        tfidf.filter(F.col("df") > head_df_floor)
+        .agg(
+            F.slice(
+                F.collect_set(F.struct("term", "df")),
+                1,
+                _HEAD_TERMS_LOCAL_MAX + 1,
+            ).alias("heads")
+        )
+        .first()
+    )
+    cap = max(head_df_floor, int(head_df_frac * n_docs))
+    heads = [
+        (str(r["term"]), int(r["df"]))
+        for r in row["heads"]
+        if int(r["df"]) > cap
+    ]
+    if stats is not None:
+        stats["signature_df_cap"] = cap
+        stats["signature_head_terms"] = len(heads)
+        stats["signature_heads_excluded"] = 0
+        stats["signature_heads_kept_family"] = 0
+    if not heads:
+        return None
+    if len(row["heads"]) > _HEAD_TERMS_LOCAL_MAX:
+        _LOG.warning(
+            "signature stop-list: >%d head terms over df floor %d — "
+            "head census overflowed the local bound; skipping the "
+            "stop-list (output unchanged, banding keeps all terms)",
+            _HEAD_TERMS_LOCAL_MAX, head_df_floor,
+        )
+        return None
+
+    from pyspark.sql import Window
+
+    head_df = F.broadcast(
+        spark.createDataFrame(heads, schema="term string, df bigint")
+        .select("term")
+    )
+    postings = tfidf.join(head_df, "term", "left_semi").select(
+        "term", "doc_id", "df"
+    )
+    # pre-thin each posting list with a deterministic hash filter
+    # BEFORE the row_number window: a head term's posting list is up
+    # to N rows (a 30%-df term at 1.2M docs = 360k rows in ONE window
+    # partition to sort); keeping rows with hash mod df < 4·s leaves
+    # ~4·s expected survivors per term (P[< s survivors] is
+    # negligible, and a short sample only shrinks the probe — never
+    # wrong, just less evidence), so the window sorts O(s·heads) rows
+    # total instead of Σ df
+    survivors = postings.filter(
+        F.pmod(F.xxhash64("term", "doc_id"), F.col("df"))
+        < F.least(F.lit(4 * sample_docs), F.col("df"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.xxhash64("term", "doc_id"), "doc_id"
+    )
+    sample = survivors.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= sample_docs
+    )
+    s1 = sample.select("term", F.col("doc_id").alias("doc1_id"))
+    s2 = sample.select("term", F.col("doc_id").alias("doc2_id"))
+    sample_pairs = s1.join(s2, "term").filter(
+        F.col("doc1_id") < F.col("doc2_id")
+    )
+    probe_tfidf = tfidf.join(
+        F.broadcast(sample.select("doc_id").distinct()), "doc_id",
+        "left_semi",
+    )
+    scored = _rescore_candidates(
+        sample_pairs, probe_tfidf, 0.0,
+        keep_cols=("term",), vec_join="broadcast",
+    )
+    verdicts = scored.groupBy("term").agg(
+        F.count("*").alias("_tot"),
+        F.sum((F.col("similarity_score") >= threshold).cast("long"))
+        .alias("_ok"),
+    ).collect()
+    excluded = [
+        (r["term"],)
+        for r in verdicts
+        if r["_ok"] < min_precision * r["_tot"]
+    ]
+    kept = len(verdicts) - len(excluded)
+    if stats is not None:
+        stats["signature_heads_excluded"] = len(excluded)
+        stats["signature_heads_kept_family"] = kept
+        stats["signature_probe_pairs"] = sum(r["_tot"] for r in verdicts)
+    _LOG.info(
+        "signature stop-list (auto, df cap %d): %d head terms probed, "
+        "%d excluded as Zipf-head noise, %d kept (family signal)",
+        cap, len(verdicts), len(excluded), kept,
+    )
+    if not excluded:
+        return None
+    return F.broadcast(
+        spark.createDataFrame(excluded, schema="term string")
+    )
 
 
 def minhash_blocked_cosine_pairs(
@@ -289,28 +466,42 @@ def minhash_blocked_cosine_pairs(
     hot_sample_docs: int = 24,
     hot_min_precision: float = 0.5,
     stats: dict | None = None,
-    signature_max_df: int | None = None,
+    signature_max_df: int | str | None = "auto",
+    n_docs: int | None = None,
+    signature_head_df_frac: float = 0.005,
+    signature_head_df_floor: int = 256,
+    signature_head_sample_docs: int = 16,
+    signature_head_min_precision: float = 0.2,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
     (map-side dot product) as the scorer.
 
-    ``signature_max_df`` (opt-in, default None = off): exclude terms
-    with df > this ABSOLUTE cap from the banding SIGNATURE only — the
-    rescore still dots the full vectors, so every emitted score stays
-    the exact cosine. Measured on the 1.2M/2.4M Zipf corpus
-    (BENCH/census_scale_r5.json): head terms drive the sub-cap
-    random-collision volume, and a 0.5%·N cap cuts candidate pairs
-    ~19× (32.5M → 1.7M at 1.2M rows) with byte-identical output —
-    the discarded candidates were rescore rejects. THE TRADEOFF: on
-    corpora with LARGE mutated-boilerplate families, the family's
-    shared base words have df ≈ family size; a cap below that erases
-    the family's entire banding signal, and unlike the hot-bucket
-    cap there is no probe downstream to save it — a silent recall
-    loss (asserted by test_signature_max_df_loses_large_families).
-    Use only where high-df sharing is known to be boilerplate noise
-    (e.g. pre-deduplicated web text), never as a blind default; the
-    density-probed hot-bucket cap remains the recall-safe mechanism.
+    ``signature_max_df`` — head-term treatment for the banding
+    SIGNATURE only (the rescore always dots the full vectors, so every
+    emitted score stays the exact cosine):
+
+    - ``"auto"`` (DEFAULT, round 6): probe-verified stop-list — head
+      terms (df > max(floor, 0.5%·N)) are each density-probed on a
+      sample of their posting list; only terms whose sampled pairs are
+      NOT genuinely similar (Zipf-head noise) are excluded, so
+      boilerplate-family base words keep their banding signal and flow
+      to the hot-bucket verify path. Recall-safe by construction; see
+      :func:`_auto_signature_stoplist`. The measured win of head
+      removal: a 0.5%·N cap cut candidate pairs ~19× (32.5M → 1.7M at
+      1.2M rows) with byte-identical output, dropping the fixed-
+      cluster data-size exponent 1.30 → 1.17
+      (BENCH/census_scale_r5.json).
+    - an ABSOLUTE int cap: the r5 manual knob — excludes every term
+      with df > cap, NO probe. Faster (no probe job) but recall-UNSAFE
+      on corpora with mutated-boilerplate families larger than the
+      cap: their shared base words have df ≈ family size and the cap
+      erases the family's entire banding signal — a silent recall
+      loss (asserted by test_signature_max_df_loses_large_families).
+      Use only where high-df sharing is known to be noise (e.g.
+      pre-deduplicated web text).
+    - ``None``: band over the full term set (the oracle-parity /
+      measurement-baseline setting).
 
     Why this beats prefix filtering / cosine-LSH at 100 TB: the
     banding collision curve 1-(1-j^r)^b is far sharper in Jaccard than
@@ -389,8 +580,21 @@ def minhash_blocked_cosine_pairs(
     been consumed, so looping sessions release even the result storage
     (`clearCache()` cannot see checkpoint blocks).
     """
+    exclude = None
+    if signature_max_df == "auto":
+        signature_max_df = None
+        if "df" in tfidf.columns:
+            exclude = _auto_signature_stoplist(
+                tfidf, threshold, n_docs=n_docs,
+                head_df_frac=signature_head_df_frac,
+                head_df_floor=signature_head_df_floor,
+                sample_docs=signature_head_sample_docs,
+                min_precision=signature_head_min_precision,
+                stats=stats,
+            )
     banded = _banded_rows(tfidf, num_hashes, bands,
-                          signature_max_df=signature_max_df)
+                          signature_max_df=signature_max_df,
+                          signature_exclude=exclude)
     return _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
                              hot_bucket_mode, hot_sample_docs,
                              hot_min_precision, stats)
@@ -401,6 +605,7 @@ def _banded_rows(
     num_hashes: int,
     bands: int,
     signature_max_df: int | None = None,
+    signature_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) MinHash-banding rows for a tfidf
     long form — the blocker shared by the pair join and the
@@ -412,16 +617,42 @@ def _banded_rows(
     silently fall out of the blocker entirely (measured: ~1 doc in
     24k on the 1.2M Zipf corpus, 40 lost triples). The fallback docs
     band among themselves, where the ordinary cap+probe machinery
-    applies. Same single groupBy either way."""
+    applies. Same single groupBy either way.
+
+    ``signature_exclude``: an explicit (small) term table to exclude
+    from signatures instead of a df cap — the probe-verified AUTO
+    stop-list path (_auto_signature_stoplist). Broadcast-joined onto
+    the long form; the same empty-signature full-set fallback
+    applies. Mutually exclusive with ``signature_max_df``."""
     rows_per_band = num_hashes // bands
     # one groupBy(doc) to gather the term set; signatures and band
     # hashes computed as array expressions (no K-fold explode shuffle —
     # the 60x row blowup was the dominant allocation/shuffle cost)
+    if signature_max_df and signature_exclude is not None:
+        raise ValueError(
+            "signature_max_df and signature_exclude are mutually "
+            "exclusive"
+        )
+    kept_when = None
+    t = tfidf
     if signature_max_df:
-        term_sets = tfidf.groupBy("doc_id").agg(
-            F.collect_list(
-                F.when(F.col("df") <= signature_max_df, F.col("term"))
-            ).alias("_kept"),  # collect_list skips the over-cap NULLs
+        kept_when = F.when(
+            F.col("df") <= signature_max_df, F.col("term")
+        )
+    elif signature_exclude is not None:
+        t = tfidf.join(
+            F.broadcast(
+                signature_exclude.select("term")
+                .withColumn("_x", F.lit(True))
+            ),
+            "term",
+            "left",
+        )
+        kept_when = F.when(F.col("_x").isNull(), F.col("term"))
+    if kept_when is not None:
+        term_sets = t.groupBy("doc_id").agg(
+            F.collect_list(kept_when).alias("_kept"),
+            # collect_list skips the stop-listed NULLs
             F.collect_list("term").alias("_all"),
         ).select(
             "doc_id",
@@ -470,13 +701,17 @@ def banding_census(
     num_hashes: int = 60,
     bands: int = 12,
     max_bucket_size: int = 400,
+    signature_exclude: DataFrame | None = None,
 ) -> dict:
     """Candidate-volume census of the MinHash blocker WITHOUT running
     the rescore: bucket count, over-cap tail, and the sub-cap
     candidate-pair volume Σ n·(n−1)/2 that drives rescore cost. Used
-    by tools/census_scale.py to attribute data-size scaling."""
+    by tools/census_scale.py to attribute data-size scaling.
+    ``signature_exclude`` censuses the df-stop-listed blocker (pass
+    _auto_signature_stoplist's result to measure the AUTO default)."""
     census = (
-        _banded_rows(tfidf, num_hashes, bands)
+        _banded_rows(tfidf, num_hashes, bands,
+                     signature_exclude=signature_exclude)
         .groupBy("band", "band_hash")
         .agg(F.count("*").alias("_n"))
     )
@@ -529,7 +764,7 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
         # other — sort-merge would sort both sides of the largest
         # fan-out join in the operator for no benefit
         return (
-            b1.join(b2.hint("shuffle_hash"), ["band", "band_hash"])
+            b1.join(b2.transform(hinted), ["band", "band_hash"])
             .filter(F.col("doc1_id") < F.col("doc2_id"))
             .select("doc1_id", "doc2_id")
         )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdf_knowledge_extractor_spark.tuning import hinted
+
 
 def term_frequencies(mentions: DataFrame) -> DataFrame:
     """(doc_id, text) mention stream -> (doc_id, term, tf)."""
@@ -50,7 +52,7 @@ def tfidf_longform(
     # per-doc aggregate slice): sort-merge would sort the full tf
     # long form twice for two equi-lookups
     weighted = (
-        tf.join(df_t.hint("shuffle_hash"), "term")
+        tf.join(df_t.transform(hinted), "term")
         .withColumn(
             "weight",
             (1.0 + F.log(F.col("tf"))) * F.log(F.col("n_docs") / F.col("df")),
@@ -63,7 +65,7 @@ def tfidf_longform(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_norm")
     )
     return (
-        weighted.join(norms.hint("shuffle_hash"), "doc_id")
+        weighted.join(norms.transform(hinted), "doc_id")
         .filter(F.col("_norm") > 0)
         .withColumn("weight", F.col("weight") / F.col("_norm"))
         .drop("_norm")

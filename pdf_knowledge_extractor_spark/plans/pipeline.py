@@ -97,13 +97,15 @@ class PipelineConfig:
     # cost quantified in BENCH/BASELINE.md). Either way the bucket
     # census lands in result["similarity_stats"] and the log.
     similarity_hot_mode: str = "verify"
-    # opt-in banding-signature df stop-list (ABSOLUTE df cap): cuts
-    # the head-term random-collision candidate volume ~19x on Zipf
-    # corpora with byte-identical output, but silently erases the
-    # banding signal of mutated-boilerplate families larger than the
-    # cap (their shared base words ARE high-df) — recall-unsafe as a
-    # blind default; see minhash_blocked_cosine_pairs docstring.
-    similarity_signature_max_df: int | None = None
+    # banding-signature head-term treatment: "auto" (default, round 6)
+    # probe-verifies each head term's posting list and stop-lists only
+    # verified Zipf-head NOISE — boilerplate-family base words keep
+    # their signal (recall-safe; the probe is the same machinery as
+    # the hot-bucket density verify). An int is the r5 manual ABSOLUTE
+    # df cap: faster (no probe) but silently erases families larger
+    # than the cap. None disables (full-signature banding — the
+    # measurement baseline). See minhash_blocked_cosine_pairs.
+    similarity_signature_max_df: int | str | None = "auto"
     # banding shape for the minhash blocker: candidate recall for a
     # pair with term-set Jaccard j is 1-(1-j^r)^b with r =
     # num_hashes/bands. The default (60/12 -> r=5) holds recall
@@ -442,6 +444,7 @@ def run_pipeline(
             hot_bucket_mode=cfg.similarity_hot_mode,
             stats=sim_stats,
             signature_max_df=cfg.similarity_signature_max_df,
+            n_docs=n_docs,  # skips the stop-list's own count job
         )
     else:
         pairs = exact_cosine_pairs(

@@ -62,25 +62,58 @@ def snapshot_created_at(docs: DataFrame, id_col: str = "doc_id") -> str:
     reference stamps export wall time (data_analysis.py:1136), which
     makes two builds of IDENTICAL input differ byte-wise unless the
     caller remembers to pin a timestamp. Default instead to a sentinel
-    derived from the input snapshot itself: an order-independent
-    64-bit XOR of the per-doc content fingerprints (bit_xor: overflow-
-    free under ANSI mode at any corpus size, unlike sum), rendered as
-    an ISO-8601 UTC timestamp (epoch seconds in [0, 2^31)). Same input
-    -> same stamp, any content change -> (almost surely) a different
-    stamp, and build-twice determinism holds with all defaults.
-    Callers wanting real
-    export-time provenance pass an explicit ISO string
-    (PipelineConfig.created_at); the rendered date is a fingerprint,
-    not a wall-clock claim, and provenance-grade exports should pin."""
-    import datetime as _dt
+    derived from the input snapshot itself, rendered as an ISO-8601
+    UTC timestamp (epoch seconds in [0, 2^31)). Same input -> same
+    stamp, any content change -> (almost surely) a different stamp,
+    and build-twice determinism holds with all defaults.
 
-    col = (
-        F.col("content_sha256")
-        if "content_sha256" in docs.columns
-        else F.col(id_col).cast("string")
-    )
-    row = docs.agg(F.bit_xor(F.xxhash64(col)).alias("h")).first()
-    h = int(row["h"] or 0) & 0x7FFFFFFF
+    The fingerprint mixes THREE order-independent aggregates of the
+    per-doc content hashes — bit_xor, count, and a wrapping 64-bit sum
+    (the modular sum of hashes; ANSI-overflow-safe because each hash
+    is pre-reduced mod 2^32) — because bit_xor alone is blind to
+    multiplicity: identical contents cancel pairwise, so adding or
+    removing an EVEN number of duplicate docs left the stamp unchanged
+    (ADVICE r5 #3). count catches cardinality changes, and the sum
+    catches equal-cardinality multiplicity swaps (one dup of A + one
+    of B -> two dups of A) that both xor and count miss.
+
+    Falls back to hashing ``id_col`` only when the frame carries no
+    ``content_sha256`` — with a loud warning, since an id-derived
+    stamp is content-insensitive.
+
+    Callers wanting real export-time provenance pass an explicit ISO
+    string (PipelineConfig.created_at); the rendered date is a
+    fingerprint, not a wall-clock claim, and provenance-grade exports
+    should pin."""
+    import datetime as _dt
+    import logging as _logging
+
+    if "content_sha256" in docs.columns:
+        col = F.col("content_sha256")
+    else:
+        _logging.getLogger(__name__).warning(
+            "snapshot_created_at: frame has no content_sha256 — "
+            "falling back to a %s-derived stamp, which is INSENSITIVE "
+            "to content changes; pass created_at explicitly or keep "
+            "the fingerprint column for a content-derived stamp",
+            id_col,
+        )
+        col = F.col(id_col).cast("string")
+    h64 = F.xxhash64(col)
+    row = docs.agg(
+        F.bit_xor(h64).alias("x"),
+        F.count(h64).alias("n"),
+        # wrapping sum: pre-reduce each hash to 32 bits so the 64-bit
+        # accumulator cannot overflow under ANSI until ~2^32 rows,
+        # then fold back to 32 bits
+        (F.sum(F.pmod(h64, F.lit(1 << 32))) % F.lit(1 << 32)).alias("s"),
+    ).first()
+    mixed = (
+        (int(row["x"] or 0) & 0xFFFFFFFFFFFFFFFF)
+        ^ (int(row["n"] or 0) * 0x9E3779B97F4A7C15)
+        ^ (int(row["s"] or 0) * 0xC2B2AE3D27D4EB4F)
+    ) & 0xFFFFFFFFFFFFFFFF
+    h = mixed & 0x7FFFFFFF
     return _dt.datetime.fromtimestamp(h, _dt.timezone.utc).replace(
         tzinfo=None
     ).isoformat()

@@ -92,3 +92,25 @@ def test_ivf_topk_recall(spark, embeddings):
     # clustered data: the true nearest neighbor lives in the same or an
     # adjacent IVF list virtually always
     assert recall >= 0.9, f"IVF top-1 recall {recall}"
+
+
+def test_scoped_checkpoint_release(spark, embeddings):
+    """ADVICE r5 #2: releasing ONE owned result must not unpersist
+    other still-held finalized results — the old blanket drain
+    truncated every sibling's lineage (their next action failed with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, no recompute possible)."""
+    from pdf_knowledge_extractor_spark.operators.ann import (
+        release_checkpointed_results,
+    )
+
+    release_checkpointed_results()  # drain prior tests' results
+    a = lsh_bucketed_topk(embeddings, k=3)
+    b = lsh_bucketed_topk(embeddings, k=5)
+    n_a = a.count()
+    # scoped release of a only: exactly one checkpoint goes
+    assert release_checkpointed_results(a) == 1
+    # b is untouched and still actionable after the sibling's release
+    assert b.count() > n_a
+    # releasing a again is a no-op; the bare drain takes the rest
+    assert release_checkpointed_results(a) == 0
+    assert release_checkpointed_results() == 1

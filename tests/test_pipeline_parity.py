@@ -136,3 +136,32 @@ def test_triples_partitioned_write_roundtrip(spark, tmp_path, pipeline_result):
     # partitioned by pred
     preds = {r["pred"] for r in back.select("pred").distinct().collect()}
     assert "contains" in preds and "similar_to" in preds
+
+
+def test_snapshot_stamp_duplicate_sensitive(spark):
+    """ADVICE r5 #3: bit_xor alone cancels identical contents
+    pairwise — adding an even number of duplicate docs left the stamp
+    unchanged. The mixed fingerprint (xor + count + wrapping sum) must
+    distinguish multiplicity changes while staying order-independent."""
+    from pdf_knowledge_extractor_spark.plans.triples import (
+        snapshot_created_at,
+    )
+
+    def frame(contents):
+        return spark.createDataFrame(
+            [(c,) for c in contents], "content string"
+        ).select(F.sha2(F.col("content"), 256).alias("content_sha256"))
+
+    base = ["alpha", "beta", "gamma"]
+    s0 = snapshot_created_at(frame(base))
+    # +2 identical duplicates: xor cancels, count must not
+    s2dup = snapshot_created_at(frame(base + ["alpha", "alpha"]))
+    assert s2dup != s0
+    # equal cardinality AND equal xor (the duplicated pair cancels
+    # itself either way): only the wrapping sum distinguishes which
+    # content was duplicated
+    sdup_a = snapshot_created_at(frame(base + ["alpha", "alpha"]))
+    sdup_b = snapshot_created_at(frame(base + ["beta", "beta"]))
+    assert sdup_a != sdup_b
+    # order independence preserved
+    assert snapshot_created_at(frame(list(reversed(base)))) == s0

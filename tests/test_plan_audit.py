@@ -193,3 +193,48 @@ def test_tfidf_lookups_hash_join(spark, small_corpus):
     assert "SortMergeJoin" not in plan, (
         "df/norm lookups regressed to SMJ (sorts the tf long form twice)"
     )
+
+
+def test_join_hint_gate_reverts_to_catalyst(spark, small_corpus, monkeypatch):
+    """ADVICE r5 #4: the pinned ShuffledHashJoin hints are gated behind
+    PKE_JOIN_HINT. Default pins SHJ on the candidate joins; =none hands
+    the physical choice back to Catalyst/AQE (deployments whose
+    shuffle partitioning is not sized to the data revert without a
+    code change) — and the answer must not change either way."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+    from pdf_knowledge_extractor_spark.operators.tfidf import tfidf_longform
+    from pdf_knowledge_extractor_spark.operators.mentions import (
+        keyword_mentions,
+    )
+
+    def _tfidf():
+        # rebuilt per arm: tfidf_longform embeds the hint at PLAN BUILD
+        # time, so the env must be read before every operator call
+        km = keyword_mentions(small_corpus, "doc_id", "content")
+        return tfidf_longform(
+            km.select("doc_id", "text"), n_docs=small_corpus.count()
+        )
+
+    def _analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.delenv("PKE_JOIN_HINT", raising=False)
+    pinned = minhash_blocked_cosine_pairs(_tfidf(), 0.7)
+    assert "ShuffledHashJoin" in _plan(pinned)
+    assert "ResolvedHint (strategy=shuffle_hash)" in _analyzed(pinned)
+    base = {(r["doc1_id"], r["doc2_id"]): r["similarity_score"]
+            for r in pinned.collect()}
+
+    monkeypatch.setenv("PKE_JOIN_HINT", "none")
+    unhinted = minhash_blocked_cosine_pairs(_tfidf(), 0.7)
+    # the gate removes the HINTS (Catalyst/AQE may still legitimately
+    # pick SHJ on its own — e.g. AQE's small-partition SMJ->SHJ
+    # rewrite — so assert on the logical plan, not the physical op)
+    assert "ResolvedHint" not in _analyzed(unhinted)
+    got = {(r["doc1_id"], r["doc2_id"]): r["similarity_score"]
+           for r in unhinted.collect()}
+    assert set(got) == set(base)
+    for k in got:
+        assert abs(got[k] - base[k]) < 1e-9

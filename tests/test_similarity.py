@@ -427,3 +427,95 @@ def test_signature_max_df_loses_large_families(spark):
     # empty-signature fallback
     assert kept > 1000
     assert 0 < lost < kept * 0.15
+
+
+def test_auto_stoplist_byte_identical_on_zipf_corpus(spark, small_corpus):
+    """Round-6 headline: signature_max_df='auto' (the DEFAULT) probes
+    each head term's posting list and excludes only verified Zipf-head
+    noise. On the plain Zipf corpus every head is noise (random
+    co-occurrence the rescore rejects), so the emitted pairs must be
+    byte-identical to full-signature banding — and deterministic
+    across calls."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    tfidf = _tfidf(small_corpus)
+    base = _pairs_dict(
+        minhash_blocked_cosine_pairs(tfidf, 0.7, signature_max_df=None)
+    )
+    stats: dict = {}
+    # floor lowered to exercise the probe at 200 docs (the production
+    # floor 256 exists so tiny corpora skip the machinery entirely)
+    auto = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df="auto", n_docs=200,
+            signature_head_df_floor=30, stats=stats,
+        )
+    )
+    assert stats["signature_head_terms"] > 0
+    assert stats["signature_heads_excluded"] == stats["signature_head_terms"]
+    assert auto == base and len(base) > 0
+    again = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df="auto", n_docs=200,
+            signature_head_df_floor=30,
+        )
+    )
+    assert again == auto
+
+
+def test_auto_stoplist_recall_safe_on_large_families(spark):
+    """The r5 counter-case that made the manual df cap opt-in: a
+    mutated-boilerplate family larger than the cap. The AUTO mode's
+    per-term density probe must recognize the family's base words as
+    signal (sampled posting-list pairs ARE similar), keep them in
+    signatures, and lose nothing — measured against the EXACT pair
+    set, since banding is probabilistic and excluding noise heads
+    legitimately perturbs which borderline pairs collide (here it
+    IMPROVES recall: fewer wasted collisions). The manual cap on the
+    same corpus collapses to <10% recall."""
+    from pdf_knowledge_extractor_spark.corpus import generate_corpus
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        exact_cosine_pairs,
+        minhash_blocked_cosine_pairs,
+    )
+
+    docs = generate_corpus(
+        spark, 800, boilerplate_fraction=0.25, boilerplate_families=1
+    ).select("doc_id", "content")
+    tfidf = _tfidf(docs)
+    kw = dict(max_bucket_size=50, hot_bucket_mode="verify")
+
+    exact = set(_pairs_dict(exact_cosine_pairs(tfidf, 0.7, round_dp=9)))
+    base = set(_pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df=None, **kw
+        )
+    ))
+    stats: dict = {}
+    auto = set(_pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df="auto", n_docs=800,
+            signature_head_df_floor=50, stats=stats, **kw
+        )
+    ))
+    manual = set(_pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df=50, **kw
+        )
+    ))
+    # the probe recognized family base words as signal
+    assert stats["signature_heads_kept_family"] > 0
+    assert stats["signature_heads_excluded"] > 0
+    # precision exact on every path (rescore), so compare recall
+    assert auto <= exact and base <= exact
+    auto_recall = len(auto & exact) / len(exact)
+    base_recall = len(base & exact) / len(exact)
+    assert auto_recall >= base_recall, (
+        f"auto {auto_recall} < baseline {base_recall}"
+    )
+    assert auto_recall > 0.999
+    # the manual cap's documented silent collapse, for contrast
+    assert len(manual) < 0.15 * len(exact)
+    tfidf.unpersist()

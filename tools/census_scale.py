@@ -64,7 +64,21 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             tfidf = tfidf.filter(F.col("df") <= max_df_frac * n)
-        rec = banding_census(tfidf)
+        exclude = None
+        stop_stats: dict = {}
+        if os.environ.get("PKE_CENSUS_AUTO_STOPLIST") == "1":
+            # census the round-6 DEFAULT blocker: the probe-verified
+            # signature stop-list (recall-safe head-term exclusion)
+            from pdf_knowledge_extractor_spark.operators.similarity import (
+                _auto_signature_stoplist,
+            )
+
+            tfidf = tfidf.persist()
+            exclude = _auto_signature_stoplist(
+                tfidf, 0.7, n_docs=n, stats=stop_stats
+            )
+        rec = banding_census(tfidf, signature_exclude=exclude)
+        rec.update({f"stoplist_{k}": v for k, v in stop_stats.items()})
         rec["rows"] = n
         rec["n_vocab"] = n_vocab
         rec["vocab_policy"] = vocab_policy
