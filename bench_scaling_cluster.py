@@ -30,9 +30,16 @@ MAX_BUCKET = int(os.environ.get("PKE_SCALE_MAX_BUCKET", "400")) or None
 # hot-bucket treatment: "verify" (round-4 default: density-probed) or
 # "drop" (round-3 behavior, the attribution-comparable setting)
 HOT_MODE = os.environ.get("PKE_SCALE_HOT_MODE", "verify")
-# opt-in banding-signature df stop-list (absolute df; 0 = off) — the
-# head-collision experiment (BENCH/census_scale_controls_r5_dfstop)
-SIG_MAX_DF = int(os.environ.get("PKE_SCALE_SIG_MAX_DF", "0")) or None
+# banding-signature head-term treatment: "auto" (the round-6 engine
+# DEFAULT — probe-verified stop-list), an absolute df int (the r5
+# manual knob, recall-unsafe; kept for the attribution controls), or
+# 0/none = full signatures (the measurement baseline)
+_sig_raw = os.environ.get("PKE_SCALE_SIG_MAX_DF", "auto").strip().lower()
+SIG_MAX_DF = (
+    "auto" if _sig_raw == "auto"
+    else (int(_sig_raw) or None) if _sig_raw.isdigit()
+    else None
+)
 EXEC_MEM_MB = int(os.environ.get("PKE_SCALE_EXEC_MEM", "8192"))
 # body-vocabulary policy for the synthetic corpus: "fixed" (legacy
 # 4,000-word vocabulary — densifies as N grows: df ∝ N, bucket
@@ -56,55 +63,12 @@ LEVELS = (
 
 
 def _foreign_compute_procs() -> list[str]:
-    """Names of OTHER heavy processes running on this host right now.
+    """Foreign-process census — shared impl (hostload.py); see that
+    module for why every leg records it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_knowledge_extractor_spark.hostload import foreign_compute_procs
 
-    The octave's residual inflation is DRAM-bandwidth-bound, so ANY
-    concurrent Spark job, pytest session, or map-stream tool poisons a
-    leg (measured: an 8-exec leg read 0.607 with a local[4]
-    microbenchmark alongside vs 0.995 clean at 1->4). Recording the
-    census in each leg's result makes contamination self-documenting
-    instead of a post-hoc suspicion.
-    """
-    me = os.getpid()
-    ppid_of, cmd_of = {}, {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                ppid_of[int(d)] = int(f.read().split(")")[-1].split()[1])
-            with open(f"/proc/{d}/cmdline", "rb") as f:
-                cmd_of[int(d)] = (
-                    f.read().replace(b"\0", b" ").decode(errors="replace")
-                )
-        except OSError:
-            continue
-    # descendants of ME, transitively (executor JVMs AND their python
-    # workers) — expanded from {me} only: expanding from ancestors
-    # would swallow the whole host once the chain reaches PID 1
-    related = {me}
-    grew = True
-    while grew:
-        grew = False
-        for pid, pp in ppid_of.items():
-            if pp in related and pid not in related:
-                related.add(pid)
-                grew = True
-    # ancestor chain (the launcher names this script too) — membership
-    # only, never expanded
-    pid = me
-    while pid in ppid_of and pid > 1:
-        pid = ppid_of[pid]
-        related.add(pid)
-    hits = []
-    for pid, cmd in cmd_of.items():
-        if pid in related:
-            continue
-        low = cmd.lower()
-        if any(k in low for k in ("pyspark", "pytest", "org.apache.spark",
-                                  "bench_", "duckdb")):
-            hits.append(cmd.strip()[:120])
-    return sorted(hits)
+    return foreign_compute_procs()
 
 
 def measured_run(n_exec: int) -> dict:

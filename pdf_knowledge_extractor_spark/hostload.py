@@ -1,0 +1,80 @@
+"""Host-load census for benchmark artifacts (VERDICT r5 item 2).
+
+Single-host benchmark numbers on this box swing ±40% with neighbor
+load (measured ~6% steal; BENCH/attrib_regression_r5.json), and the
+round-5 driver bench was demonstrably taken on a loaded host — which
+was only adjudicable by cross-referencing a machine-idle precheck.
+Every bench artifact therefore stamps each row with:
+
+- ``foreign_compute_procs``: command lines of OTHER heavy compute
+  processes (Spark JVMs, pytest, duckdb, bench tools) running on the
+  host at measurement time, excluding this process's own tree — the
+  field that PROVES a row clean (empty list) or self-documents
+  contamination;
+- ``load1``: 1-minute loadavg — the coarse corroborating signal (on a
+  32-cpu box a clean bench itself pushes load1 well above 1, so only
+  foreign_compute_procs attributes WHOSE load it is).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def foreign_compute_procs() -> list[str]:
+    """Names of OTHER heavy compute processes on this host right now.
+
+    Walks /proc, takes the transitive descendants of this process
+    (executor JVMs AND their python workers) plus its ancestor chain
+    (the launcher names this script too — membership only, never
+    expanded: expanding ancestors would swallow the whole host once
+    the chain reaches PID 1), and reports every OTHER process whose
+    command line looks like compute."""
+    me = os.getpid()
+    ppid_of, cmd_of = {}, {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid_of[int(d)] = int(f.read().split(")")[-1].split()[1])
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd_of[int(d)] = (
+                    f.read().replace(b"\0", b" ").decode(errors="replace")
+                )
+        except OSError:
+            continue
+    related = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in related and pid not in related:
+                related.add(pid)
+                grew = True
+    pid = me
+    while pid in ppid_of and pid > 1:
+        pid = ppid_of[pid]
+        related.add(pid)
+    hits = []
+    for pid, cmd in cmd_of.items():
+        if pid in related:
+            continue
+        low = cmd.lower()
+        if any(k in low for k in ("pyspark", "pytest", "org.apache.spark",
+                                  "bench_", "duckdb")):
+            hits.append(cmd.strip()[:120])
+    return sorted(hits)
+
+
+def load_snapshot() -> dict:
+    """One host-load stamp: loadavg + the foreign-process census."""
+    try:
+        l1, l5, l15 = os.getloadavg()
+    except OSError:  # pragma: no cover
+        l1 = l5 = l15 = -1.0
+    return {
+        "load1": round(l1, 2),
+        "load5": round(l5, 2),
+        "foreign_compute_procs": foreign_compute_procs(),
+    }

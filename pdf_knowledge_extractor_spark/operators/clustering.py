@@ -42,13 +42,23 @@ def cluster_documents(
         predictionCol="cluster_id", featuresCol="features", metricName="silhouette"
     )
 
+    sc = vectors.sparkSession.sparkContext
+
     def fit(kk: int):
         km = KMeans(
             k=kk, seed=seed, featuresCol="features", predictionCol="cluster_id"
         )
+        # job-description markers so per-job wall time is attributable
+        # post-hoc from the status store (tools/attrib_clustered_
+        # variance.py) — the KMeans fit and the silhouette evaluation
+        # are the two driver-blocking ML actions in the clustered path
+        sc.setJobDescription(f"pke: kmeans fit k={kk}")
         model = km.fit(vectors)
         preds = model.transform(vectors)
-        return preds, evaluator.evaluate(preds)
+        sc.setJobDescription(f"pke: silhouette k={kk}")
+        score = evaluator.evaluate(preds)
+        sc.setJobDescription(None)
+        return preds, score
 
     if k is not None:
         preds, score = fit(k)

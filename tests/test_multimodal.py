@@ -134,3 +134,56 @@ def test_decode_image_real_path_or_stub_fallback():
         assert mm.decode_image(png) == decode_image_stub(png)
         with pytest.raises(NotImplementedError):
             mm.decode_image(png, strict=True)
+
+
+def test_numpy_conv_embedder_is_signal_not_hash(spark):
+    """The worked real-kernel registration (VERDICT r5 item 5): the
+    numpy_conv embedder must dispatch through the registry like any
+    production encoder, be deterministic, and be a CONTINUOUS function
+    of the payload — one flipped byte perturbs the feature vector
+    slightly, where byte_hash decorrelates completely. That property
+    is what distinguishes real feature extraction from the stub."""
+    import math
+
+    from pdf_knowledge_extractor_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    base = bytes(range(256)) * 8
+    flipped = bytearray(base)
+    flipped[100] ^= 0xFF
+    media = spark.createDataFrame(
+        [("m1", "image", base), ("m2", "image", bytes(flipped))],
+        "media_id string, kind string, data binary",
+    )
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return dot / (nu * nv)
+
+    conv = {
+        r["media_id"]: r["features"]
+        for r in extract_media_features(
+            media, feature_dim=12, embedder="numpy_conv"
+        ).collect()
+    }
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_media_features(
+            media, feature_dim=12, embedder="numpy_conv"
+        ).collect()
+    }
+    assert conv == again  # deterministic
+    assert cos(conv["m1"], conv["m2"]) > 0.95, "conv features not continuous"
+
+    hashed = {
+        r["media_id"]: r["features"]
+        for r in extract_media_features(
+            media, feature_dim=12, embedder="byte_hash"
+        ).collect()
+    }
+    assert abs(cos(hashed["m1"], hashed["m2"])) < 0.9, (
+        "byte_hash unexpectedly correlated"
+    )
