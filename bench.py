@@ -102,6 +102,7 @@ HEADLINE = (
 CORPUS_ROWS_ORDER = (
     "kg_pipeline",
     "sim_minhash_corpus",
+    "sim_minhash_fullsig_corpus",
     "sim_minhash_capped_corpus",
     "sim_prefix_corpus_10k",
     "kg_pipeline_clustered",
@@ -238,6 +239,24 @@ class _Bench:
             self.repeats,
         )
 
+    def row_sim_minhash_fullsig_corpus(self):
+        # the pre-r6 uncapped blocker (signature_max_df=None): kept on
+        # the board so the AUTO-default row above stays comparable to
+        # r1-r5 history — the default changed in r6, the full-signature
+        # measurement did not
+        from pdf_knowledge_extractor_spark.operators.similarity import (
+            minhash_blocked_cosine_pairs,
+        )
+
+        tfidf = self._ensure_pipeline()
+        self.measure(
+            "sim_minhash_fullsig_corpus",
+            lambda: minhash_blocked_cosine_pairs(
+                tfidf, threshold=0.7, signature_max_df=None
+            ).count(),
+            self.repeats,
+        )
+
     def row_sim_minhash_capped_corpus(self):
         # the same blocker with the pipeline's production bucket cap —
         # the round-3 scale guard; on this corpus the near-dup clusters
@@ -312,6 +331,7 @@ class _Bench:
         return {
             "kg_pipeline": self.row_kg_pipeline,
             "sim_minhash_corpus": self.row_sim_minhash_corpus,
+            "sim_minhash_fullsig_corpus": self.row_sim_minhash_fullsig_corpus,
             "sim_minhash_capped_corpus": self.row_sim_minhash_capped_corpus,
             "sim_prefix_corpus_10k": self.row_sim_prefix,
             "kg_pipeline_clustered": self.row_kg_pipeline_clustered,

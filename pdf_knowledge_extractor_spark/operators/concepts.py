@@ -89,6 +89,26 @@ def aggregate_concepts(
     salted = per_doc.withColumn(
         "_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts))
     )
+    # Pre-position the salted agg's exchange BELOW its object-hash
+    # partial. Without this, Catalyst plans the partial map-side — in
+    # the SAME stage as the per-doc codegen final (whose hash map holds
+    # that partition's full (concept, doc) key space), and the partial
+    # map's key space is the GLOBAL n_concepts x n_salts (every
+    # pre-shuffle partition sees every concept): at 2.4M rows with a
+    # live Heaps vocabulary that is ~744k object-agg keys per task next
+    # to a multi-million-key codegen map, which OOMs a 1 GB executor
+    # (the r6 ladder's stage-13 failure; the raised objectHashAggregate
+    # fallbackThreshold deliberately disables the sort valve because
+    # sort fallback re-spills the whole payload — see session.py).
+    # Repartitioning on the exact grouping keys makes EnsureRequirements
+    # skip the agg's own exchange, so the object agg runs in its own
+    # reduce stage where each task holds only total_keys / n_partitions
+    # keys and only its partition's share of doc-id buffers — per-task
+    # memory is then set by partition sizing (rows/partition), the
+    # normal Spark contract, independent of vocabulary size.
+    salted = salted.repartition(
+        F.col("text"), F.col("concept_type"), F.col("_salt")
+    )
     partial_aggs = [
         F.sum("_cnt").alias("_cnt"),
         F.sum("_imp_sum").alias("_imp_sum"),

@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=400,
                     help="minhash blocker degenerate-bucket cap "
                          "(0 disables)")
+    ap.add_argument("--sig-max-df", default="auto",
+                    help="banding-signature head-term treatment: "
+                         "'auto' (default: probe-verified stop-list), "
+                         "an absolute df int (recall-unsafe manual "
+                         "cap), or 'none' (full signatures)")
     ap.add_argument("--hot-mode", default="verify",
                     choices=["verify", "drop"],
                     help="over-cap bucket treatment: 'verify' "
@@ -87,6 +92,11 @@ def main() -> None:
         similarity_threshold=args.threshold,
         similarity_max_bucket=args.max_bucket or None,
         similarity_hot_mode=args.hot_mode,
+        similarity_signature_max_df=(
+            "auto" if args.sig_max_df == "auto"
+            else None if args.sig_max_df in ("none", "0")
+            else int(args.sig_max_df)
+        ),
         with_context=not args.no_context,
         with_clusters=args.with_clusters,
         cluster_k=args.cluster_k,

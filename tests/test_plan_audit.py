@@ -172,11 +172,26 @@ def test_concepts_agg_bounded_memory_shape(spark, small_corpus):
     # single chain: per-doc exchange, salt exchange, merge exchange —
     # a 4th would mean Catalyst elided the per-doc agg under the
     # collects (RemoveRedundantAggregates) and re-read the raw mention
-    # stream in a second branch
+    # stream in a second branch, OR the explicit salt repartition
+    # failed to satisfy the salted agg's distribution (attribute
+    # mismatch) and EnsureRequirements added its exchange back
     assert plan.count("+- Exchange") == 3, (
         f"expected 3 exchanges, plan has {plan.count('+- Exchange')} "
-        "(duplicate mention pass?)"
+        "(duplicate mention pass, or redundant salt exchange?)"
     )
+    # the salted object agg must run REDUCE-side: its partial sits
+    # above the explicit REPARTITION_BY_COL exchange (tree prints
+    # top-down, so parent index < child index). If the partial were
+    # planned map-side it would share a stage with the per-doc codegen
+    # final and hold the GLOBAL n_concepts x n_salts key space per
+    # task — the r6 2.4M-row ladder OOM (1 GB executor, stage 13)
+    assert "REPARTITION_BY_COL" in plan, (
+        "explicit salt repartition missing below the object agg"
+    )
+    assert plan.index("partial_collect_set") < plan.index(
+        "REPARTITION_BY_COL"
+    ), "salted object-agg partial planned map-side (below the salt "
+    "exchange) — global key space per task, the 1-GB-executor OOM shape"
 
 
 def test_tfidf_lookups_hash_join(spark, small_corpus):
