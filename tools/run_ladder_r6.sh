@@ -20,13 +20,14 @@ cd "$(dirname "$0")/.."
 
 run_leg() {
   local rows=$1 parts=$2
-  local tag="scaling_${rows}_heaps_4exec_auto_r6"
-  echo "=== leg rows=$rows parts=$parts $(date -u +%H:%M:%S) ==="
-  PKE_SCALE_ROWS=$rows PKE_SCALE_VOCAB=heaps \
-  PKE_SCALE_SHUFFLE_PARTS=$parts PKE_SCALE_SIG_MAX_DF=auto \
-  python bench_scaling_cluster.py --run 4 \
-    > "BENCH/${tag}.json.log" 2> "BENCH/${tag}.err.log"
-  echo "exit=$? $(tail -c 400 BENCH/${tag}.json.log)"
+  # scratch from the PREVIOUS leg (blockmgr/work dirs a crashed or
+  # just-stopped session leaves behind) competes with this leg's
+  # shuffle for the shared sandbox disk — the first back-to-back run
+  # of this script filled the disk mid-4.8M (stage 14, failure log
+  # kept). Clean between legs and sample a 20 s disk census so peak
+  # scratch is a recorded number (tools/run_leg_with_disk_census.sh).
+  rm -rf /tmp/blockmgr-* /tmp/spark-* /opt/spark/work/* 2>/dev/null
+  tools/run_leg_with_disk_census.sh "$rows" "$parts"
 }
 
 run_leg 2400000 128
