@@ -8,12 +8,12 @@
 # /tmp, worker dirs under /opt/spark/work). Pass or fail, the peak
 # attributes WHERE the bytes went.
 #
-# Usage: tools/run_leg_with_disk_census.sh ROWS PARTS
+# Usage: tools/run_leg_with_disk_census.sh ROWS PARTS [TAGSUFFIX]
 set -u
 cd "$(dirname "$0")/.."
-rows=$1 parts=$2
-tag="scaling_${rows}_heaps_4exec_auto_r6"
-census="BENCH/disk_census_${rows}_r6.log"
+rows=$1 parts=$2 suffix=${3:-}
+tag="scaling_${rows}_heaps_4exec_auto${suffix}_r6"
+census="BENCH/disk_census_${rows}${suffix}_r6.log"
 
 sampler() {
   while true; do
