@@ -111,6 +111,17 @@ def measured_run(n_exec: int) -> dict:
                 "2000000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # LADDER-ONLY zstd shuffle/spill blocks (the engine default
+        # stays lz4 — see session.py for the measured trade): the 4.8M
+        # leg's live shuffle peaks at 81 GB under lz4, which filled the
+        # ~81 GB sandbox disk twice
+        # (BENCH/disk_census_4800000_lz4_diskfull_r6.log). zstd's ~19%
+        # disk cut buys the margin the sandbox needs, at +25% wall on
+        # these 1-core executors; the WHOLE ladder runs one codec so
+        # the fitted exponent compares like with like, and the lz4
+        # 1.2M/2.4M legs stay on the record as the codec A/B.
+        .config("spark.io.compression.codec",
+                os.environ.get("PKE_SCALE_IO_CODEC", "zstd"))
     )
     if EVENTLOG_DIR:
         os.makedirs(EVENTLOG_DIR, exist_ok=True)

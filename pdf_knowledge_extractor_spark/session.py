@@ -55,6 +55,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PKE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle codec stays lz4 (the Spark default) ON PURPOSE — the
+        # r6 data-size ladder measured the zstd trade on this engine's
+        # shuffle-dense hot path (pair x vector rescore, doc-vector and
+        # mention streams): zstd(level 1) cut live shuffle scratch only
+        # ~19% (16.4 vs ~20 GB at 1.2M rows) while costing +25% wall
+        # (1132.6 s vs 904.8 s) on 1-core executors, where compression
+        # CPU lands directly on the task's critical path
+        # (BENCH/scaling_1200000_heaps_4exec_auto{,_zstd}_r6.json.log).
+        # Deployments whose shuffle must fit constrained local disks
+        # (the engine carries ~17 KB/row of live shuffle under lz4 —
+        # BENCH/disk_census_4800000_lz4_diskfull_r6.log) can flip
+        # spark.io.compression.codec=zstd via extra_conf and pay the
+        # CPU; with multi-core executors the wall cost shrinks because
+        # compression no longer serializes against task compute.
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
