@@ -62,7 +62,7 @@ def foreign_compute_procs() -> list[str]:
             continue
         low = cmd.lower()
         if any(k in low for k in ("pyspark", "pytest", "org.apache.spark",
-                                  "bench_", "duckdb")):
+                                  "bench_", "duckdb", "memory_pin")):
             hits.append(cmd.strip()[:120])
     return sorted(hits)
 

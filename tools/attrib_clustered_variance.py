@@ -57,6 +57,16 @@ def _jobs(sc) -> list[dict]:
     return out
 
 
+def _gc_ms(sc) -> int:
+    """Total JVM GC time (ms) summed over live executors — per-run
+    deltas separate 'the JVM was collecting' from host drift."""
+    total = 0
+    it = sc._jsc.sc().statusStore().executorList(True).iterator()
+    while it.hasNext():
+        total += it.next().totalGCTime()
+    return int(total)
+
+
 def main() -> None:
     from pdf_knowledge_extractor_spark.corpus import generate_corpus
     from pdf_knowledge_extractor_spark.hostload import load_snapshot
@@ -79,6 +89,7 @@ def main() -> None:
         spark.catalog.clearCache()
         release_checkpointed_results()
         seen = {j["job_id"] for j in _jobs(sc)}
+        gc0 = _gc_ms(sc)
         t0 = time.perf_counter()
         cfg = PipelineConfig(
             similarity_strategy="minhash", with_clusters=True,
@@ -100,6 +111,7 @@ def main() -> None:
         gaps = round(total - sum(j["dur"] for j in jobs), 3)
         runs.append({
             "total": total,
+            "gc_delta_ms": _gc_ms(sc) - gc0,
             "stages": dict(
                 sorted(stages.items(), key=lambda kv: -kv[1])
             ),
@@ -136,9 +148,17 @@ def main() -> None:
             total_spread / statistics.median(totals), 4
         ),
         "driver_gaps": gaps,
+        "gc_delta_ms": [r["gc_delta_ms"] for r in runs],
         "stage_summary": dict(
             sorted(summary.items(), key=lambda kv: -kv[1]["spread"])
         ),
+        # run 1 pays JIT/codegen warmup for the whole session; the
+        # warm view is what cross-round bench deltas should compare to
+        "warm_totals": totals[1:],
+        "warm_spread_frac": round(
+            (max(totals[1:]) - min(totals[1:]))
+            / statistics.median(totals[1:]), 4
+        ) if len(totals) > 2 else None,
         "corpus_rows": CORPUS_ROWS,
         "cpus": CPUS,
     }
