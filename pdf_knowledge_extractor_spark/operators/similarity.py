@@ -305,6 +305,7 @@ def _auto_signature_stoplist(
     head_df_floor: int = 256,
     sample_docs: int = 16,
     min_precision: float = 0.2,
+    probe_max_frac: float = 0.05,
     stats: dict | None = None,
 ) -> DataFrame | None:
     """Probe-verified head-term stop-list for the banding SIGNATURE
@@ -344,7 +345,24 @@ def _auto_signature_stoplist(
     the caller didn't pass it — the pipeline does), plus ONE probe job
     when any head exists. Returns a local-relation DataFrame of terms
     to exclude, or None (no heads / probe kept everything / head list
-    overflow).
+    overflow / small-corpus probe-budget gate).
+
+    ``probe_max_frac`` — the ENGAGEMENT gate (round-6 refinement):
+    the stop-list is a large-N device. Its payoff is the head terms'
+    banding-collision volume, which only dominates when posting lists
+    are huge RELATIVE to a fixed-size probe; when sampling the heads
+    would touch more than this fraction of the corpus (estimated
+    locally from the head census as Σ min(sample_docs, df) — an upper
+    bound, so the gate errs toward skipping), the collision volume
+    the exclusions could prevent is the same order as the probe
+    itself, and the probe becomes pure overhead: measured +11.5 s on
+    the 50 k-doc bench corpus (946 heads at the floor cap, 30% of the
+    corpus sampled, byte-identical output) vs ~1% of corpus sampled
+    and a net 19× candidate cut at 1.2 M docs. Skipping keeps ALL
+    terms in signatures — recall-safe by construction; pathological
+    small-corpus families stay guarded by the hot-bucket verify path.
+    The gate self-scales: it disengages exactly when the per-term
+    sample stops being a rounding error against N.
     """
     spark = tfidf.sparkSession
     if n_docs is None:
@@ -386,6 +404,25 @@ def _auto_signature_stoplist(
             "head census overflowed the local bound; skipping the "
             "stop-list (output unchanged, banding keeps all terms)",
             _HEAD_TERMS_LOCAL_MAX, head_df_floor,
+        )
+        return None
+    # engagement gate: estimated probe footprint (upper bound — the
+    # per-term samples overlap, so clamp at "the whole corpus") as a
+    # fraction of the corpus
+    probe_frac = min(
+        1.0, sum(min(sample_docs, d) for _, d in heads) / n_docs
+    )
+    if stats is not None:
+        stats["signature_probe_frac"] = round(probe_frac, 4)
+    if probe_frac > probe_max_frac:
+        if stats is not None:
+            stats["signature_probe_skipped_small_corpus"] = True
+        _LOG.info(
+            "signature stop-list: probing %d heads would sample "
+            "%.1f%% of the %d-doc corpus (> %.1f%% budget) — small-N "
+            "regime, stop-list disengaged (output unchanged, banding "
+            "keeps all terms; hot-bucket verify guards dense families)",
+            len(heads), 100 * probe_frac, n_docs, 100 * probe_max_frac,
         )
         return None
 
@@ -472,6 +509,7 @@ def minhash_blocked_cosine_pairs(
     signature_head_df_floor: int = 256,
     signature_head_sample_docs: int = 16,
     signature_head_min_precision: float = 0.2,
+    signature_probe_max_frac: float = 0.05,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
@@ -491,7 +529,11 @@ def minhash_blocked_cosine_pairs(
       removal: a 0.5%·N cap cut candidate pairs ~19× (32.5M → 1.7M at
       1.2M rows) with byte-identical output, dropping the fixed-
       cluster data-size exponent 1.30 → 1.17
-      (BENCH/census_scale_r5.json).
+      (BENCH/census_scale_r5.json). Engages only when the probe's
+      sampled-doc footprint is ≤ ``signature_probe_max_frac`` of the
+      corpus (small corpora skip the machinery with output unchanged
+      — the probe was pure overhead there; see
+      :func:`_auto_signature_stoplist` ``probe_max_frac``).
     - an ABSOLUTE int cap: the r5 manual knob — excludes every term
       with df > cap, NO probe. Faster (no probe job) but recall-UNSAFE
       on corpora with mutated-boilerplate families larger than the
@@ -590,6 +632,7 @@ def minhash_blocked_cosine_pairs(
                 head_df_floor=signature_head_df_floor,
                 sample_docs=signature_head_sample_docs,
                 min_precision=signature_head_min_precision,
+                probe_max_frac=signature_probe_max_frac,
                 stats=stats,
             )
     banded = _banded_rows(tfidf, num_hashes, bands,

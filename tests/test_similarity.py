@@ -450,7 +450,8 @@ def test_auto_stoplist_byte_identical_on_zipf_corpus(spark, small_corpus):
     auto = _pairs_dict(
         minhash_blocked_cosine_pairs(
             tfidf, 0.7, signature_max_df="auto", n_docs=200,
-            signature_head_df_floor=30, stats=stats,
+            signature_head_df_floor=30, signature_probe_max_frac=1.0,
+            stats=stats,
         )
     )
     assert stats["signature_head_terms"] > 0
@@ -459,10 +460,41 @@ def test_auto_stoplist_byte_identical_on_zipf_corpus(spark, small_corpus):
     again = _pairs_dict(
         minhash_blocked_cosine_pairs(
             tfidf, 0.7, signature_max_df="auto", n_docs=200,
-            signature_head_df_floor=30,
+            signature_head_df_floor=30, signature_probe_max_frac=1.0,
         )
     )
     assert again == auto
+
+
+def test_auto_stoplist_small_corpus_gate(spark, small_corpus):
+    """The probe ENGAGEMENT gate: when sampling the head terms would
+    touch more than signature_probe_max_frac of the corpus (the
+    default 5% — every small corpus), the stop-list disengages
+    entirely: no probe job, all terms stay in signatures, output
+    byte-identical to full-signature banding. Measured motivation:
+    the probe cost +11.5 s on the 50 k-doc bench corpus while
+    excluding 946 heads changed nothing."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    tfidf = _tfidf(small_corpus)
+    base = _pairs_dict(
+        minhash_blocked_cosine_pairs(tfidf, 0.7, signature_max_df=None)
+    )
+    stats: dict = {}
+    auto = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df="auto", n_docs=200,
+            signature_head_df_floor=30, stats=stats,
+        )
+    )
+    # heads exist, but the gate skipped the probe before sampling
+    assert stats["signature_head_terms"] > 0
+    assert stats["signature_probe_skipped_small_corpus"] is True
+    assert stats["signature_probe_frac"] > 0.05
+    assert stats["signature_heads_excluded"] == 0
+    assert auto == base and len(base) > 0
 
 
 def test_auto_stoplist_recall_safe_on_large_families(spark):
@@ -497,7 +529,8 @@ def test_auto_stoplist_recall_safe_on_large_families(spark):
     auto = set(_pairs_dict(
         minhash_blocked_cosine_pairs(
             tfidf, 0.7, signature_max_df="auto", n_docs=800,
-            signature_head_df_floor=50, stats=stats, **kw
+            signature_head_df_floor=50, signature_probe_max_frac=1.0,
+            stats=stats, **kw
         )
     ))
     manual = set(_pairs_dict(
