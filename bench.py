@@ -25,7 +25,10 @@ foreign-compute-process census (hostload.py). The field that PROVES a
 row clean is host_census[row]["foreign_compute_procs"] == [] — loadavg
 alone cannot attribute load to a neighbor vs the bench itself. The
 round-5 driver bench was contaminated by neighbor load and the
-artifact could not prove it either way; now it can.
+artifact could not prove it either way; now it can. Non-empty
+entries carry an instantaneous "[cpu N%]" prefix: a 0% entry is a
+keyword false-positive (e.g. an idle shell whose command line names
+a bench log), not contamination.
 
 FRESH-SESSION MODE (round 6, VERDICT r5 item 7): --fresh-session-per-row
 (or PKE_BENCH_FRESH_SESSION=1) runs every row in its own subprocess

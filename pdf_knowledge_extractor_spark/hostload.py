@@ -10,7 +10,11 @@ Every bench artifact therefore stamps each row with:
   processes (Spark JVMs, pytest, duckdb, bench tools) running on the
   host at measurement time, excluding this process's own tree — the
   field that PROVES a row clean (empty list) or self-documents
-  contamination;
+  contamination. Each entry is prefixed with its instantaneous CPU
+  share (``[cpu N%]``, sampled over 250 ms) so a keyword
+  false-positive — e.g. an idle shell whose command line merely
+  NAMES a bench log file — self-adjudicates at 0% instead of
+  requiring a cross-referenced rerun;
 - ``load1``: 1-minute loadavg — the coarse corroborating signal (on a
   32-cpu box a clean bench itself pushes load1 well above 1, so only
   foreign_compute_procs attributes WHOSE load it is).
@@ -19,9 +23,10 @@ Every bench artifact therefore stamps each row with:
 from __future__ import annotations
 
 import os
+import time
 
 
-def foreign_compute_procs() -> list[str]:
+def foreign_compute_procs(sample_s: float = 0.25) -> list[str]:
     """Names of OTHER heavy compute processes on this host right now.
 
     Walks /proc, takes the transitive descendants of this process
@@ -29,7 +34,13 @@ def foreign_compute_procs() -> list[str]:
     (the launcher names this script too — membership only, never
     expanded: expanding ancestors would swallow the whole host once
     the chain reaches PID 1), and reports every OTHER process whose
-    command line looks like compute."""
+    command line looks like compute, prefixed with its CPU share
+    over a ``sample_s``-second window (utime+stime delta from
+    /proc/<pid>/stat against wall·HZ). The keyword match is
+    deliberately broad — a command line that merely REFERENCES a
+    bench artifact (``tail bench_x.err.log``) hits it — so the CPU
+    figure is what separates real contamination from an idle
+    bystander."""
     me = os.getpid()
     ppid_of, cmd_of = {}, {}
     for d in os.listdir("/proc"):
@@ -56,14 +67,36 @@ def foreign_compute_procs() -> list[str]:
     while pid in ppid_of and pid > 1:
         pid = ppid_of[pid]
         related.add(pid)
-    hits = []
+    suspects = {}
     for pid, cmd in cmd_of.items():
         if pid in related:
             continue
         low = cmd.lower()
         if any(k in low for k in ("pyspark", "pytest", "org.apache.spark",
                                   "bench_", "duckdb", "memory_pin")):
-            hits.append(cmd.strip()[:120])
+            suspects[pid] = cmd.strip()[:120]
+    if not suspects:
+        return []
+
+    def _cputicks(pid: int) -> int | None:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split(")")[-1].split()
+            return int(parts[11]) + int(parts[12])   # utime + stime
+        except (OSError, IndexError, ValueError):
+            return None
+
+    t0 = {pid: _cputicks(pid) for pid in suspects}
+    time.sleep(sample_s)
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    hits = []
+    for pid, cmd in suspects.items():
+        t1 = _cputicks(pid)
+        if t0[pid] is None or t1 is None:   # exited mid-sample
+            hits.append(f"[cpu ?%] {cmd}")
+            continue
+        pct = 100.0 * (t1 - t0[pid]) / (sample_s * hz)
+        hits.append(f"[cpu {pct:.0f}%] {cmd}")
     return sorted(hits)
 
 

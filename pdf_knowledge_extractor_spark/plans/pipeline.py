@@ -106,6 +106,15 @@ class PipelineConfig:
     # than the cap. None disables (full-signature banding — the
     # measurement baseline). See minhash_blocked_cosine_pairs.
     similarity_signature_max_df: int | str | None = "auto"
+    # probe ENGAGEMENT gate for the "auto" stop-list: skip the probe
+    # entirely when sampling the head terms would touch more than
+    # this fraction of the corpus (small-N regime — there the probe
+    # costs more than the collisions it could prevent, measured
+    # +11.5s at 50k docs for a byte-identical result; at 1.2M the
+    # footprint is ~1% and the stop-list engages). Skipping keeps
+    # ALL terms in signatures, so output is unchanged by
+    # construction. 1.0 forces the probe at any size.
+    similarity_signature_probe_max_frac: float = 0.05
     # banding shape for the minhash blocker: candidate recall for a
     # pair with term-set Jaccard j is 1-(1-j^r)^b with r =
     # num_hashes/bands. The default (60/12 -> r=5) holds recall
@@ -444,6 +453,9 @@ def run_pipeline(
             hot_bucket_mode=cfg.similarity_hot_mode,
             stats=sim_stats,
             signature_max_df=cfg.similarity_signature_max_df,
+            signature_probe_max_frac=(
+                cfg.similarity_signature_probe_max_frac
+            ),
             n_docs=n_docs,  # skips the stop-list's own count job
         )
     else:
