@@ -466,6 +466,37 @@ def test_auto_stoplist_byte_identical_on_zipf_corpus(spark, small_corpus):
     assert again == auto
 
 
+def test_auto_stoplist_gate_engages_at_large_n(spark, small_corpus):
+    """Complement of the small-corpus gate: when the corpus-size hint
+    says the probe footprint is a rounding error (the large-N regime
+    the stop-list exists for), the gate must let the probe run under
+    its DEFAULT 5% budget — no probe_max_frac override. Same 200-doc
+    posting lists, n_docs hint 200k → frac ≈ Σ min(16, df)/200000 ≪
+    5% (head_df_frac pinned tiny so the df cap stays at the floor
+    instead of scaling to 0.5%·200k, which no 200-doc df can
+    clear)."""
+    from pdf_knowledge_extractor_spark.operators.similarity import (
+        minhash_blocked_cosine_pairs,
+    )
+
+    tfidf = _tfidf(small_corpus)
+    base = _pairs_dict(
+        minhash_blocked_cosine_pairs(tfidf, 0.7, signature_max_df=None)
+    )
+    stats: dict = {}
+    auto = _pairs_dict(
+        minhash_blocked_cosine_pairs(
+            tfidf, 0.7, signature_max_df="auto", n_docs=200_000,
+            signature_head_df_floor=30, signature_head_df_frac=1e-6,
+            stats=stats,
+        )
+    )
+    assert "signature_probe_skipped_small_corpus" not in stats
+    assert 0 < stats["signature_probe_frac"] <= 0.05
+    assert stats["signature_heads_excluded"] > 0  # probe really ran
+    assert auto == base and len(base) > 0
+
+
 def test_auto_stoplist_small_corpus_gate(spark, small_corpus):
     """The probe ENGAGEMENT gate: when sampling the head terms would
     touch more than signature_probe_max_frac of the corpus (the
