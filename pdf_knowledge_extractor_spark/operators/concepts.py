@@ -167,6 +167,179 @@ def aggregate_concepts(
     return merged
 
 
+def aggregate_concepts_canonical(
+    mentions: DataFrame,
+    min_frequency: int = 2,
+    max_concepts: int | None = 100,
+    n_salts: int = DEFAULT_SALTS,
+    doc_id_cap: int = MAX_DOC_IDS_PER_CONCEPT,
+) -> DataFrame:
+    """Fused, two-phase form of
+    ``canonical_merge(aggregate_concepts(mentions, 1, None), ...)`` —
+    byte-identical output, a fraction of the cost (round-7 headline:
+    the composition was 40% of kg_pipeline wall at 500k rows).
+
+    Why the composition is slow: aggregate_concepts(min_frequency=1,
+    max_concepts=None) materializes the capped ``document_ids`` list
+    for EVERY distinct mention text — tens of millions of phrase
+    variants at 500k docs — through a per-(concept, doc) dedup
+    exchange plus a salted object-agg exchange, both carrying long
+    doc-id strings, only for canonical_merge to keep the top
+    ``max_concepts`` canonicals. The lists of the losers are pure
+    waste.
+
+    Two phases instead:
+
+    1. STATS pass — frequency (count) and importance-sum per variant:
+       a fixed-width codegen hash aggregate with map-side partial
+       combine (no salting needed — hot keys partial-reduce before the
+       exchange), then the alias-canonical window and the merged
+       (frequency, importance) ranking that picks the winners. The
+       heavy mention stream crosses ONE exchange carrying
+       (text, type, count, sum) — no doc ids, no object aggs.
+    2. LIST pass — ``document_ids`` (and ``context_sentences`` when
+       present) are collected ONLY for the winners' alias variants: a
+       broadcast semi-join filters the mention stream to those
+       (~max_concepts · alias-fanout) texts, and the exact salted
+       slice/merge machinery of :func:`aggregate_concepts` runs on
+       that sliver, reproducing the capped lists byte-for-byte (the
+       per-salt smallest-K caps compose to the global smallest-K, as
+       before).
+
+    Value notes: frequency merges are integer-exact. importance is
+    Σimportance/Σcount per canonical — the same value the composition
+    computes up to float summation order (each mention stream carries
+    a constant importance per concept_type, and every consumer guards
+    the last ulp: ranking rounds to 9 dp, the relationship threshold
+    compares means of cross-type constants far from the cut, and the
+    parity suite rounds to 6 dp)."""
+    has_context = "context" in mentions.columns
+    base = mentions.select(
+        F.lower(F.col("text")).alias("text"),
+        "concept_type",
+        "importance",
+        "doc_id",
+        *(["context"] if has_context else []),
+    )
+    # ---- pass 1: stats, canonical, winners --------------------------
+    stats = base.groupBy("text", "concept_type").agg(
+        F.count("*").alias("frequency"),
+        F.sum("importance").alias("_imp_sum"),
+    )
+    w = Window.partitionBy(
+        F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", ""),
+        "concept_type",
+    )
+    with_canon = stats.withColumn("canonical", F.min("text").over(w))
+    # persisted: pass 2 re-reads the variant->canonical mapping for
+    # the winners; recomputing it would re-run the stats aggregation
+    with_canon = with_canon.persist()
+    merged = with_canon.groupBy(
+        F.col("canonical").alias("text"), "concept_type"
+    ).agg(
+        F.sum("frequency").alias("frequency"),
+        (F.sum("_imp_sum") / F.sum("frequency")).alias("importance"),
+    )
+    if min_frequency and min_frequency > 1:
+        merged = merged.filter(F.col("frequency") >= min_frequency)
+    if max_concepts:
+        merged = merged.orderBy(
+            F.desc(F.round("importance", 9)),
+            F.desc("frequency"),
+            F.asc("text"),
+        ).limit(max_concepts)
+    winners = merged
+
+    # ---- pass 2: capped lists for the winners' variants only --------
+    variants = with_canon.join(
+        F.broadcast(
+            winners.select(F.col("text").alias("canonical"), "concept_type")
+        ),
+        ["canonical", "concept_type"],
+        "left_semi",
+    ).select("text", "concept_type", "canonical")
+    doc_keys = ["text", "concept_type", "doc_id"] + (
+        ["context"] if has_context else []
+    )
+    per_doc = (
+        base.join(
+            F.broadcast(variants.select("text", "concept_type")),
+            ["text", "concept_type"],
+            "left_semi",
+        )
+        .select(*doc_keys)
+        .dropDuplicates(doc_keys)
+    )
+    salted = per_doc.withColumn(
+        "_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts))
+    )
+    partial_aggs = [
+        F.slice(
+            F.array_sort(F.collect_set("doc_id")), 1, doc_id_cap
+        ).alias("_docs"),
+    ]
+    if has_context:
+        partial_aggs.append(
+            F.slice(F.array_sort(F.collect_set("context")), 1, 5).alias(
+                "_ctx"
+            )
+        )
+    partial = salted.groupBy("text", "concept_type", "_salt").agg(
+        *partial_aggs
+    )
+    variant_aggs = [
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
+            1,
+            doc_id_cap,
+        ).alias("document_ids"),
+    ]
+    if has_context:
+        variant_aggs.append(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("_ctx")))
+                ),
+                1,
+                5,
+            ).alias("_vctx")
+        )
+    variant_lists = partial.groupBy("text", "concept_type").agg(
+        *variant_aggs
+    )
+    merge_aggs = [
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("document_ids")))
+        ).alias("document_ids"),
+    ]
+    if has_context:
+        merge_aggs.append(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("_vctx")))
+                ),
+                1,
+                5,
+            ).alias("context_sentences")
+        )
+    lists = (
+        variant_lists.join(
+            F.broadcast(variants), ["text", "concept_type"]
+        )
+        .groupBy(F.col("canonical").alias("text"), "concept_type")
+        .agg(*merge_aggs)
+    )
+    out_cols = ["text", "concept_type", "frequency", "importance",
+                "document_ids"]
+    if has_context:
+        out_cols.append("context_sentences")
+    return (
+        winners.join(lists, ["text", "concept_type"], "left")
+        .select(*out_cols)
+        .withColumn("n_documents", F.size("document_ids"))
+    )
+
+
 def canonical_merge(
     concepts: DataFrame,
     min_frequency: int = 2,

