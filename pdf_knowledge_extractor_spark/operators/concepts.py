@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 MAX_DOC_IDS_PER_CONCEPT = 10_000  # bound list size; counts stay exact
 
+# alias-normalization char set: the canonical form strips [-_.\s]
+# (Java \s = space \t \n \x0b \f \r). translate() deletes the same
+# chars the old regexp_replace(r"[-_.\s]+", "") run-replace did —
+# value-identical, but a char map instead of a regex replace (the
+# same 27x regexp_replace pathology measured on the enrich alnum
+# projection; this expression keys the canonical window over every
+# distinct mention variant)
+_CANON_STRIP = "-_. \t\n\x0b\f\r"
+
+
+def _canon_norm(col) -> F.Column:
+    return F.translate(F.lower(col), _CANON_STRIP, "")
+
 
 def aggregate_concepts(
     mentions: DataFrame,
@@ -112,6 +125,13 @@ def aggregate_concepts(
     partial_aggs = [
         F.sum("_cnt").alias("_cnt"),
         F.sum("_imp_sum").alias("_imp_sum"),
+        # distinct docs per (concept, salt): the stage-1 input is
+        # deduped per (concept, doc[, context]) and context is one
+        # deterministic sentence per (doc, mention text) by
+        # construction, so count(*) IS the per-salt distinct-doc
+        # count; summing it across salts gives the global distinct
+        # count exactly (each doc lives in exactly one salt)
+        F.count("*").alias("_docs_n"),
         F.slice(
             F.array_sort(F.collect_set("doc_id")), 1, doc_id_cap
         ).alias("_docs"),
@@ -132,6 +152,7 @@ def aggregate_concepts(
     merge_aggs = [
         F.sum("_cnt").alias("frequency"),
         (F.sum("_imp_sum") / F.sum("_cnt")).alias("importance"),
+        F.sum("_docs_n").alias("_n_docs_total"),
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
             1,
@@ -149,7 +170,18 @@ def aggregate_concepts(
             ).alias("context_sentences")
         )
     merged = partial.groupBy("text", "concept_type").agg(*merge_aggs)
-    merged = merged.withColumn("n_documents", F.size("document_ids"))
+    # n_documents from the count aggregates, NOT size(document_ids):
+    # equal by the smallest-K composition (the merged capped list has
+    # min(total_distinct, cap) elements), and — the point — it frees
+    # Catalyst's column pruning to DROP the collect_set machinery
+    # entirely for consumers that never read document_ids (the
+    # concepts_agg driver query selects text/frequency/n_documents
+    # only; with n_documents tied to size(document_ids) the object
+    # aggs always ran)
+    merged = merged.withColumn(
+        "n_documents",
+        F.least(F.col("_n_docs_total"), F.lit(doc_id_cap)).cast("int"),
+    ).drop("_n_docs_total")
     if min_frequency and min_frequency > 1:
         merged = merged.filter(F.col("frequency") >= min_frequency)
     if max_concepts:
@@ -226,10 +258,7 @@ def aggregate_concepts_canonical(
         F.count("*").alias("frequency"),
         F.sum("importance").alias("_imp_sum"),
     )
-    w = Window.partitionBy(
-        F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", ""),
-        "concept_type",
-    )
+    w = Window.partitionBy(_canon_norm(F.col("text")), "concept_type")
     with_canon = stats.withColumn("canonical", F.min("text").over(w))
     # persisted: pass 2 re-reads the variant->canonical mapping for
     # the winners; recomputing it would re-run the stats aggregation
@@ -369,11 +398,7 @@ def canonical_merge(
         mapping = cc_alias_canonical(concepts.select("text"))
         with_canon = concepts.join(mapping, "text")
     else:
-        norm = F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", "")
-        w = Window.partitionBy(
-            F.regexp_replace(F.lower(F.col("text")), r"[-_.\s]+", ""),
-            "concept_type",
-        )
+        w = Window.partitionBy(_canon_norm(F.col("text")), "concept_type")
         with_canon = concepts.withColumn(
             "canonical", F.min("text").over(w)
         )

