@@ -86,16 +86,24 @@ def foreign_compute_procs(sample_s: float = 0.25) -> list[str]:
         except (OSError, IndexError, ValueError):
             return None
 
+    t_mono0 = time.monotonic()
     t0 = {pid: _cputicks(pid) for pid in suspects}
     time.sleep(sample_s)
-    hz = os.sysconf("SC_CLK_TCK") or 100
+    # ADVICE r6: sysconf can return -1 for a defined-but-unavailable
+    # name, and `-1 or 100` is truthy -1 (negative percentages) —
+    # guard on positivity; and divide by the MEASURED elapsed wall
+    # (sleep overshoot + per-pid stat reads exceed sample_s, which
+    # systematically overstated the shares)
+    hz = os.sysconf("SC_CLK_TCK")
+    hz = hz if isinstance(hz, int) and hz > 0 else 100
     hits = []
     for pid, cmd in suspects.items():
         t1 = _cputicks(pid)
         if t0[pid] is None or t1 is None:   # exited mid-sample
             hits.append(f"[cpu ?%] {cmd}")
             continue
-        pct = 100.0 * (t1 - t0[pid]) / (sample_s * hz)
+        elapsed = max(time.monotonic() - t_mono0, 1e-6)
+        pct = 100.0 * (t1 - t0[pid]) / (elapsed * hz)
         hits.append(f"[cpu {pct:.0f}%] {cmd}")
     return sorted(hits)
 

@@ -205,6 +205,7 @@ def aggregate_concepts_canonical(
     max_concepts: int | None = 100,
     n_salts: int = DEFAULT_SALTS,
     doc_id_cap: int = MAX_DOC_IDS_PER_CONCEPT,
+    materialize: bool = False,
 ) -> DataFrame:
     """Fused, two-phase form of
     ``canonical_merge(aggregate_concepts(mentions, 1, None), ...)`` —
@@ -362,11 +363,30 @@ def aggregate_concepts_canonical(
                 "document_ids"]
     if has_context:
         out_cols.append("context_sentences")
-    return (
+    out = (
         winners.join(lists, ["text", "concept_type"], "left")
         .select(*out_cols)
         .withColumn("n_documents", F.size("document_ids"))
     )
+    if materialize:
+        # eager mode (the pipeline's): materialize the
+        # (<= max_concepts)-row result via an eager localCheckpoint
+        # and RELEASE the variant-stats cache immediately. The
+        # checkpoint does two jobs at once: with_canon (millions of
+        # rows at scale) stops pressuring executor storage for the
+        # rest of the session (the shared-session sim rows regressed
+        # ~20% before this release), and the result's LINEAGE is
+        # truncated — this plan embeds the full mention×corpus
+        # subtree twice (stats pass + list pass), and every
+        # downstream graph/triple construction re-ANALYZED it on the
+        # driver (measured ~12s of driver-side plan time per
+        # pipeline run before truncation; guide §3.3: materialise an
+        # intermediate to cut planning cost). The checkpointed
+        # relation is <= max_concepts rows, so the storage is
+        # negligible and needs no release registry.
+        out = out.localCheckpoint(eager=True)
+        with_canon.unpersist()
+    return out
 
 
 def canonical_merge(

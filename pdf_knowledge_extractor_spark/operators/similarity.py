@@ -309,20 +309,52 @@ _HEAD_TERMS_LOCAL_MAX = 100_000
 SIGNATURE_HEAD_DF_FLOOR = 256
 
 
-def head_term_census_agg(df_floor: int = SIGNATURE_HEAD_DF_FLOOR):
-    """Aggregate expression computing the AUTO stop-list's head-term
-    census — (term, df) structs with df > floor, driver-bounded —
-    for folding into an action the caller already runs over the tfidf
-    long form (e.g. the pipeline's cache-materialization count).
-    collect_set skips the NULLs of sub-floor rows, so this adds no
-    shuffle of its own. Pass the collected list to
-    ``minhash_blocked_cosine_pairs(signature_heads=...)``."""
-    return F.slice(
-        F.collect_set(
-            F.when(F.col("df") > df_floor, F.struct("term", "df"))
-        ),
-        1,
-        _HEAD_TERMS_LOCAL_MAX + 1,
+def collect_signature_head_census(
+    tfidf: DataFrame,
+    df_floor: int = SIGNATURE_HEAD_DF_FLOOR,
+    sample_docs: int = 16,
+) -> list:
+    """ONE job over the tfidf long form returning the AUTO stop-list's
+    head-term census (term, df) AND each head's deterministic posting
+    sample — everything `_auto_signature_stoplist` needs before its
+    probe, so the operator pays no further full-corpus scans for
+    sampling. The sample selection replicates the r6 window form
+    exactly (same hash pre-filter, same (xxhash64(term, doc_id),
+    doc_id) order), so probe decisions are byte-identical.
+
+    Callers that must materialize the tfidf cache anyway (the
+    pipeline) use THIS action as the materialization job and pass the
+    rows to ``minhash_blocked_cosine_pairs(signature_heads=...)`` —
+    zero extra stop-list jobs on that path (VERDICT r6 item 1); the
+    operator runs it internally otherwise. Driver memory stays
+    bounded: <= sample_docs structs per head term survive the slice
+    and the limit caps the row count at the overflow bound."""
+    surv = F.pmod(
+        F.xxhash64("term", "doc_id"), F.col("df")
+    ) < F.least(F.lit(4 * sample_docs), F.col("df"))
+    return (
+        tfidf.filter(F.col("df") > df_floor)
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.slice(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(
+                            surv,
+                            F.struct(
+                                F.xxhash64("term", "doc_id").alias("h"),
+                                F.col("doc_id").alias("doc_id"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                sample_docs,
+            ).alias("sampled"),
+        )
+        .limit(_HEAD_TERMS_LOCAL_MAX + 1)
+        .collect()
     )
 
 
@@ -400,53 +432,21 @@ def _auto_signature_stoplist(
             tfidf.agg(F.count_distinct(F.col("doc_id")).alias("n"))
             .first()["n"]
         )
-    samples_by_term = None
     if head_rows is None:
         # ONE job: head census AND per-term posting samples together
         # (round 7 — the r6 form ran the census, then a second full
-        # posting scan + window job just to draw the per-term samples).
-        # The sampled docs are selected by the identical deterministic
-        # hash filter and (xxhash64(term, doc_id), doc_id) order as
-        # the window form below, so probe decisions are byte-identical
-        # either way. Memory stays bounded: <= sample_docs structs per
-        # head term survive the slice, and the limit caps the driver
-        # list at the same overflow bound as before. Callers that
-        # already materialize the tfidf long form can fold the plain
-        # census into that job (head_term_census_agg) and pass the
-        # result as ``head_rows`` — the pipeline does (VERDICT r6
-        # item 1: zero extra census jobs on the pipeline path).
-        surv = F.pmod(
-            F.xxhash64("term", "doc_id"), F.col("df")
-        ) < F.least(F.lit(4 * sample_docs), F.col("df"))
-        rows = (
-            tfidf.filter(F.col("df") > head_df_floor)
-            .groupBy("term")
-            .agg(
-                F.first("df").alias("df"),
-                F.slice(
-                    F.array_sort(
-                        F.collect_set(
-                            F.when(
-                                surv,
-                                F.struct(
-                                    F.xxhash64("term", "doc_id")
-                                    .alias("h"),
-                                    F.col("doc_id").alias("doc_id"),
-                                ),
-                            )
-                        )
-                    ),
-                    1,
-                    sample_docs,
-                ).alias("sampled"),
-            )
-            .limit(_HEAD_TERMS_LOCAL_MAX + 1)
-            .collect()
+        # posting scan + window job just to draw the per-term samples)
+        head_rows = collect_signature_head_census(
+            tfidf, df_floor=head_df_floor, sample_docs=sample_docs
         )
-        head_rows = rows
+    # rows from collect_signature_head_census carry the samples; a
+    # caller passing a bare (term, df) census falls back to the
+    # distributed window sampler below (identical selection)
+    samples_by_term = None
+    if head_rows and "sampled" in head_rows[0].__fields__:
         samples_by_term = {
             str(r["term"]): [s["doc_id"] for s in r["sampled"]]
-            for r in rows
+            for r in head_rows
         }
     cap = max(head_df_floor, int(head_df_frac * n_docs))
     heads = [

@@ -405,14 +405,11 @@ def run_pipeline(
     if (cfg.similarity_strategy == "minhash"
             and cfg.similarity_signature_max_df == "auto"):
         from pdf_knowledge_extractor_spark.operators.similarity import (
-            head_term_census_agg,
+            collect_signature_head_census,
         )
 
         sc.setJobDescription("pke: materialize tfidf + head census")
-        signature_heads = list(
-            tfidf.agg(head_term_census_agg().alias("heads"))
-            .first()["heads"]
-        )
+        signature_heads = collect_signature_head_census(tfidf)
     else:
         sc.setJobDescription("pke: materialize tfidf")
         tfidf.count()
@@ -428,11 +425,17 @@ def run_pipeline(
             aggregate_concepts_canonical,
         )
 
+        sc.setJobDescription("pke: materialize concepts")
+        # materialize=True persists+counts the winners inside the
+        # operator and releases its internal variant-stats cache
+        # right away (millions of rows — holding it for the session
+        # regressed everything running after the concepts phase)
         concepts = aggregate_concepts_canonical(
             mentions,
             min_frequency=cfg.min_concept_frequency,
             max_concepts=cfg.max_concepts,
             n_salts=cfg.n_salts,
+            materialize=True,
         )
     else:
         concepts = aggregate_concepts(
@@ -441,23 +444,25 @@ def run_pipeline(
             max_concepts=cfg.max_concepts,
             n_salts=cfg.n_salts,
         )
-    # materialize the aggregation ONCE before anything fans out over it
-    # (the context join reads it twice: broadcast side + left side)
-    concepts = concepts.persist()
-    sc.setJobDescription("pke: materialize concepts")
-    concepts.count()
+        # materialize the aggregation ONCE before anything fans out
+        # over it (the context join reads it twice)
+        concepts = concepts.persist()
+        sc.setJobDescription("pke: materialize concepts")
+        concepts.count()
     if cfg.with_context:
         from pdf_knowledge_extractor_spark.operators.concepts import (
             with_concept_contexts,
         )
 
+        sc.setJobDescription("pke: concept contexts (min-doc join)")
+        # eager checkpoint, not persist+count: tiny (<= max_concepts
+        # rows), and truncating the lineage here keeps the many
+        # downstream consumers (graph, relationships, triples,
+        # exports) from re-analyzing the context join's plan on the
+        # driver for every construction step
         concepts = with_concept_contexts(
             concepts, enriched, id_col=id_col, text_col=text_col
-        ).persist()
-        sc.setJobDescription("pke: concept contexts (min-doc join)")
-        concepts.count()  # tiny (<= max_concepts rows); downstream
-        # consumers (graph, relationships, triples) read the cache
-        # instead of re-running the broadcast context join
+        ).localCheckpoint(eager=True)
     sc.setJobDescription(None)
 
     if cfg.similarity_strategy == "lsh":
@@ -472,6 +477,7 @@ def run_pipeline(
         pairs = prefix_cosine_pairs(tfidf, threshold=cfg.similarity_threshold)
     elif cfg.similarity_strategy == "minhash":
         sim_stats: dict = {}
+        sc.setJobDescription("pke: similarity minhash (census+rescore)")
         pairs = minhash_blocked_cosine_pairs(
             tfidf,
             threshold=cfg.similarity_threshold,
@@ -494,6 +500,7 @@ def run_pipeline(
             round_dp=cfg.similarity_round_dp,
         )
     similarities = with_similarity_metadata(pairs).persist()
+    sc.setJobDescription("pke: graph + triples plan (snapshot stamp)")
 
     # per-doc top keywords straight off the persisted tfidf long form
     # (its tf column IS the per-doc keyword count — no recompute)
@@ -619,4 +626,5 @@ def run_pipeline(
     for p in triple_parts[1:]:
         triples = triples.unionByName(p)
     result["triples"] = triples
+    sc.setJobDescription(None)
     return result

@@ -38,6 +38,23 @@ def main() -> None:
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("plan-capture-r07", cpus=8)
 
+    # the dedup/similarity operators eagerly localCheckpoint their
+    # result (_finalize), which makes the query-level explain an
+    # opaque ExistingRDD scan — neutralize it for plan capture so the
+    # real operator plan is visible (and nothing expensive executes)
+    from pdf_knowledge_extractor_spark.operators import ann as _ann
+
+    _ann._finalize = lambda result, *cached: result
+    import pdf_knowledge_extractor_spark.operators.dedup as _dedup
+
+    _dedup._finalize = _ann._finalize
+    try:
+        import pdf_knowledge_extractor_spark.operators.similarity as _sim
+
+        _sim._finalize = _ann._finalize  # type: ignore[attr-defined]
+    except Exception:
+        pass
+
     from pdf_knowledge_extractor_spark import entry_queries
 
     qs = entry_queries.get_queries()
