@@ -127,3 +127,35 @@ def test_minhash_bucket_cap(spark):
     assert {(0, i) for i in range(1, 20)} <= got
     # ...while the quadratic non-representative pair list is gone
     assert not any(a != 0 and b < 100 for a, b in got), got
+
+
+def test_ngram_prefix_path_matches_direct(spark, small_corpus, monkeypatch):
+    """Round 7: ngram_jaccard_pairs picks its physical plan by posting
+    volume (direct self-join below _PREFIX_PATH_MIN_POSTS, the
+    prefix-pair candidate path above). Small fixtures always take the
+    direct path, so pin the prefix path's exactness explicitly by
+    forcing it onto the same corpus and comparing full rows — the
+    prefix machinery (2-subset keys + small-doc side channel +
+    string-array intersection verify) must reproduce the direct
+    join's output byte-for-byte at several thresholds."""
+    from pdf_knowledge_extractor_spark.operators import dedup
+
+    def rows(threshold):
+        return sorted(
+            (r["doc1_id"], r["doc2_id"], r["inter"], r["sz1"], r["sz2"],
+             round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                small_corpus, threshold=threshold, n=3,
+                id_col="doc_id", text_col="content", max_df=None,
+            ).collect()
+        )
+
+    for t in (0.5, 0.8):
+        direct = rows(t)
+        monkeypatch.setattr(dedup, "_PREFIX_PATH_MIN_POSTS", 0)
+        prefix = rows(t)
+        monkeypatch.setattr(dedup, "_PREFIX_PATH_MIN_POSTS", 1_000_000)
+        assert direct, f"fixture produced no pairs at t={t}"
+        assert prefix == direct, (
+            f"prefix path diverged from direct at t={t}"
+        )
